@@ -1,0 +1,212 @@
+"""Candidate spaces and matcher combinators (SURVEY.md M5, M8–M13).
+
+Reference semantics: ``snorkel/candidates.py`` ≈L20–90 (``Ngrams``
+enumerates every n-gram span of a sentence up to ``n_max``) and
+``snorkel/matchers.py`` (combinator algebra over span generators with
+``longest_match_only`` suppression of contained sub-spans;
+``DictionaryMatch``, ``RegexMatchSpan``, ``RegexMatchEach``, ``Union``,
+``Intersect``, ``Inverse``, ``Concat``, ``LambdaFunctionMatcher``).
+
+These are plain-Python predicate objects applied *inside* a
+``map_batches`` body — there is no distribution concern here; the
+distributed fast path for dictionary mentions lives in
+``stages/mentions.py``.
+
+Deviation from reference, documented: spans here use an EXCLUSIVE
+``char_end`` (Python slice convention); the reference's
+``TemporarySpan.char_end`` is inclusive.  ``word_end`` stays inclusive
+like the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator
+
+
+@dataclass(frozen=True)
+class Span:
+    """In-memory span over one sentence (reference ``TemporarySpan``)."""
+
+    words: tuple[str, ...]
+    char_start: int  # sentence-relative, inclusive
+    char_end: int  # sentence-relative, EXCLUSIVE
+    word_start: int
+    word_end: int  # inclusive
+    text: str
+
+    def get_span(self) -> str:
+        return self.text
+
+    def get_attrib_tokens(self, attrib: str = "words") -> tuple[str, ...]:
+        if attrib != "words":
+            raise KeyError(f"attrib {attrib!r} not materialized in rule-parser mode")
+        return self.words
+
+    def __len__(self) -> int:
+        return self.word_end - self.word_start + 1
+
+
+class Ngrams:
+    """Enumerate all n-gram spans with 1 <= n <= n_max (reference default 5)."""
+
+    def __init__(self, n_max: int = 5):
+        self.n_max = n_max
+
+    def __call__(self, words: list[str], offsets: list[int], sent_text: str) -> Iterator[Span]:
+        L = len(words)
+        for i in range(L):
+            for n in range(1, min(self.n_max, L - i) + 1):
+                j = i + n - 1
+                cs = offsets[i]
+                ce = offsets[j] + len(words[j])
+                yield Span(tuple(words[i : j + 1]), cs, ce, i, j, sent_text[cs:ce])
+
+
+class Matcher:
+    """Base combinator. Subclasses implement ``_f(span) -> bool``.
+
+    ``apply`` filters a span iterable; with ``longest_match_only`` a
+    matched span is suppressed when another matched span strictly
+    contains it (reference ``matchers.py`` ≈L40–80).
+    """
+
+    def __init__(self, *children: "Matcher", longest_match_only: bool = True):
+        self.children = children
+        self.longest_match_only = longest_match_only
+
+    def _f(self, span: Span) -> bool:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def apply(self, spans: Iterable[Span]) -> list[Span]:
+        matched = [s for s in spans if self._f(s)]
+        if not self.longest_match_only or len(matched) <= 1:
+            return matched
+        out = []
+        for s in matched:
+            contained = any(
+                (o is not s)
+                and o.word_start <= s.word_start
+                and s.word_end <= o.word_end
+                and len(o) > len(s)
+                for o in matched
+            )
+            if not contained:
+                out.append(s)
+        return out
+
+
+class DictionaryMatch(Matcher):
+    """Span text ∈ dictionary (reference ≈L80–150). The dict is expected
+    to be a broadcast small side (``ray.put`` once; SURVEY.md J4/T2)."""
+
+    def __init__(self, d: Iterable[str], ignore_case: bool = True, inverse: bool = False,
+                 longest_match_only: bool = True):
+        super().__init__(longest_match_only=longest_match_only)
+        self.ignore_case = ignore_case
+        self.inverse = inverse
+        self.d = frozenset(w.casefold() if ignore_case else w for w in d)
+
+    def _f(self, span: Span) -> bool:
+        t = span.text.casefold() if self.ignore_case else span.text
+        return (t in self.d) != self.inverse
+
+
+class RegexMatchSpan(Matcher):
+    def __init__(self, rgx: str, ignore_case: bool = True, full_match: bool = True,
+                 longest_match_only: bool = True):
+        super().__init__(longest_match_only=longest_match_only)
+        flags = re.IGNORECASE if ignore_case else 0
+        self.rgx = re.compile(rgx, flags | re.UNICODE)
+        self.full_match = full_match
+
+    def _f(self, span: Span) -> bool:
+        m = self.rgx.fullmatch(span.text) if self.full_match else self.rgx.search(span.text)
+        return m is not None
+
+
+class RegexMatchEach(Matcher):
+    """Every token matches the regex (reference uses this over
+    ``ner_tags`` for PersonMatcher etc.; here over words)."""
+
+    def __init__(self, rgx: str, ignore_case: bool = True, longest_match_only: bool = True):
+        super().__init__(longest_match_only=longest_match_only)
+        self.rgx = re.compile(rgx, (re.IGNORECASE if ignore_case else 0) | re.UNICODE)
+
+    def _f(self, span: Span) -> bool:
+        return all(self.rgx.fullmatch(w) for w in span.words) and len(span.words) > 0
+
+
+class Union(Matcher):
+    def _f(self, span: Span) -> bool:
+        return any(c._f(span) for c in self.children)
+
+
+class Intersect(Matcher):
+    def _f(self, span: Span) -> bool:
+        return all(c._f(span) for c in self.children)
+
+
+class Inverse(Matcher):
+    def __init__(self, child: Matcher, longest_match_only: bool = True):
+        super().__init__(child, longest_match_only=longest_match_only)
+
+    def _f(self, span: Span) -> bool:
+        return not self.children[0]._f(span)
+
+
+class Concat(Matcher):
+    """Span matches if it splits into a left part matching child 0 and a
+    right part matching child 1 (reference ≈L230–350; token-boundary
+    splits only, no permutations)."""
+
+    def __init__(self, left: Matcher, right: Matcher, left_required: bool = True,
+                 right_required: bool = True, longest_match_only: bool = True):
+        super().__init__(left, right, longest_match_only=longest_match_only)
+        self.left_required = left_required
+        self.right_required = right_required
+
+    def _f(self, span: Span) -> bool:
+        L, R = self.children
+        n = len(span.words)
+        if not self.left_required and R._f(span):
+            return True
+        if not self.right_required and L._f(span):
+            return True
+        for k in range(1, n):
+            lw = span.words[:k]
+            rw = span.words[k:]
+            left = Span(lw, span.char_start, span.char_start + sum(map(len, lw)) + k - 1,
+                        span.word_start, span.word_start + k - 1, " ".join(lw))
+            right = Span(rw, 0, 0, span.word_start + k, span.word_end, " ".join(rw))
+            if L._f(left) and R._f(right):
+                return True
+        return False
+
+
+class LambdaFunctionMatcher(Matcher):
+    def __init__(self, func: Callable[[Span], bool], longest_match_only: bool = True):
+        super().__init__(longest_match_only=longest_match_only)
+        self.func = func
+
+    def _f(self, span: Span) -> bool:
+        return bool(self.func(span))
+
+
+class NumberMatcher(RegexMatchEach):
+    def __init__(self, **kw):
+        super().__init__(r"[0-9][0-9,.]*", **kw)
+
+
+class DateMatcher(RegexMatchSpan):
+    def __init__(self, **kw):
+        super().__init__(r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}", **kw)
+
+
+class CapitalizedMatcher(RegexMatchEach):
+    """Heuristic NER stand-in (no tagger in env): every token TitleCase."""
+
+    def __init__(self, **kw):
+        kw.setdefault("ignore_case", False)
+        super().__init__(r"[A-Z][\w.'-]*", **kw)

@@ -1,0 +1,98 @@
+"""Flagship end-to-end KG-construction pipeline (north star).
+
+pages → [filter lang] → html_to_text → sentences → candidates (actor
+pool, broadcast alias dict) → labeling functions → label-model fit
+(streaming pattern-count sufficient stats + driver EM) → marginal
+scoring → entity linking (actor pool) → dedup/sort/write triples.
+
+Reference lifecycle being recast: SURVEY.md §3 E1/E2 (parse → extract
+→ label → supervise → score), with the RDBMS replaced by Dataset
+lineage + per-stage parquet checkpoints.
+
+Control leaves the Ray Data DAG exactly once: the tiny EM fit between
+the pattern-count aggregate and the scoring map (SURVEY.md A4 —
+driver-side fit over K≲10-dim statistics, weights broadcast back by
+closure capture).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.candidates import extract_candidates
+from ..stages.extract import extract_docs
+from ..stages.label_model import fit_label_model, pattern_counts, score_marginals
+from ..stages.labeling import apply_lfs
+from ..stages.linking import build_link_index
+from ..stages.materialize import link_candidates, materialize_triples
+from ..stages.sentences import split_docs_to_sentences
+from ..state.checkpoint import CheckpointedPipeline
+
+
+def run_kg_pipeline(
+    pages,
+    alias_table: pa.Table,
+    facts: list[tuple[str, str, str]] | None = None,
+    *,
+    lang: str = "en",
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    input_fingerprint: str = "pages",
+    concurrency=(2, 8),
+):
+    """→ (triples Dataset, info dict). Ray must already be initialised
+    by the caller (driver contract: this function never calls
+    ray.init)."""
+    import ray
+
+    alias_ref = ray.put(alias_table)
+    kb_ref = ray.put({"facts": [tuple(f) for f in (facts or [])],
+                      "link_index": build_link_index(alias_table)}) if facts else None
+
+    cp = CheckpointedPipeline(checkpoint_dir, input_fingerprint)
+
+    def _lang_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("lang"), lang))
+
+    labeled, fp = cp.stage(
+        "labeled",
+        {"lang": lang, "lfs": "kg_v1"},
+        lambda: apply_lfs(
+            extract_candidates(
+                split_docs_to_sentences(
+                    extract_docs(
+                        pages.map_batches(_lang_filter, batch_format="pyarrow")
+                    )
+                ),
+                alias_ref,
+                concurrency=concurrency,
+            ),
+            kb_ref,
+            concurrency=concurrency,
+        ),
+    )
+    if checkpoint_dir is None:
+        # two consumers (stats + scoring) — pin the small/medium test
+        # dataset rather than recomputing the whole chain twice; at
+        # scale the parquet checkpoint IS the materialization.
+        labeled = labeled.materialize()
+
+    counts = pattern_counts(labeled)
+    model = fit_label_model(counts)
+
+    scored = score_marginals(labeled, model)
+    linked = link_candidates(scored, alias_ref, concurrency=concurrency)
+    linked, fp2 = cp.stage("scored_linked", {"threshold": threshold},
+                           lambda: linked, prev_fp=fp) if checkpoint_dir else (linked, fp)
+
+    triples = materialize_triples(linked, threshold=threshold, out_dir=None)
+    if checkpoint_dir:
+        triples, _ = cp.stage("triples", {"threshold": threshold},
+                              lambda: triples, prev_fp=fp2)
+    if out_dir is not None:
+        triples.write_parquet(out_dir)
+
+    info = {"model": model, "stages": cp.summary()}
+    return triples, info

@@ -1,0 +1,173 @@
+"""Candidate (subj, pred, obj) extraction, fused per sentence.
+
+Reference: ``CandidateExtractor`` (``snorkel/candidates.py`` ≈L90–220)
+runs matchers over candidate spaces per sentence, takes the
+``itertools.product`` across arities, filters self/nested relations and
+inserts unique Candidate rows keyed by their Span args.  Here the whole
+thing is ONE shuffle-free ``map_batches`` stage over sentences: an
+actor pool holding the alias token index (broadcast once via
+``ray.put``) detects mentions and pairs them within the sentence in the
+same pass — mentions never need to be co-located by a groupby because
+they are born co-located.
+
+Pairing spec:
+- ordered pairs with subj strictly before obj (templates and English
+  relational phrasing are left-to-right; the reverse direction yields
+  near-zero trigger hits and doubles candidate volume at 10^12 docs);
+- self-relations and nested/overlapping spans are dropped (reference
+  ``self_relations=False, nested_relations=False`` defaults);
+- token gap capped at ``max_gap`` (candidate-volume control at scale);
+- ``pred`` = first trigger match over the between-text ("" if none).
+
+Sentence context is denormalized into the candidate row (SURVEY.md J1):
+LFs read columns, never join back to sentences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ids import normalize_entity_key
+from ..functions.predicates import detect_predicate
+from .mentions import build_alias_index
+
+CANDIDATE_COLUMNS = [
+    "cand_stable_id", "doc_id", "url", "sent_idx", "sent_stable_id", "pred",
+    "subj_text", "subj_key", "subj_word_start", "subj_word_end",
+    "obj_text", "obj_key", "obj_word_start", "obj_word_end",
+    "gap", "between_text", "pre_text", "sent_text",
+]
+
+
+class CandidateExtractor:
+    def __init__(self, alias_ref, *, max_gap: int = 12):
+        import ray
+
+        table = alias_ref if isinstance(alias_ref, pa.Table) else ray.get(alias_ref)
+        idx = build_alias_index(table)
+        self.index = idx["index"]
+        self.max_len = idx["max_len"]
+        self.first_tokens = idx["first_tokens"]
+        self.max_gap = max_gap
+
+    # same greedy longest-match sweep as MentionDetector (kept local so
+    # the fused stage has no cross-module state)
+    def _scan(self, words, folded):
+        out = []
+        i, L = 0, len(words)
+        while i < L:
+            if folded[i] not in self.first_tokens:
+                i += 1
+                continue
+            hit = None
+            for n in range(min(self.max_len, L - i), 0, -1):
+                v = self.index.get(tuple(folded[i : i + n]))
+                if v is not None:
+                    hit = (i, i + n - 1)
+                    break
+            if hit:
+                out.append(hit)
+                i = hit[1] + 1
+            else:
+                i += 1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = batch.column("url").to_pylist()
+        sent_idxs = batch.column("sent_idx").to_numpy(zero_copy_only=False)
+        sids = batch.column("sent_stable_id").to_pylist()
+        abs_starts = batch.column("abs_char_start").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        words_col = batch.column("words").to_pylist()
+        offs_col = batch.column("char_offsets").to_pylist()
+
+        o: dict[str, list] = {k: [] for k in CANDIDATE_COLUMNS}
+        for r in range(len(urls)):
+            words = words_col[r]
+            if len(words) < 2:
+                continue
+            folded = [w.casefold() for w in words]
+            ments = self._scan(words, folded)
+            if len(ments) < 2:
+                continue
+            offs = offs_col[r]
+            text = texts[r]
+            a0 = int(abs_starts[r])
+            for si in range(len(ments)):
+                for oi in range(si + 1, len(ments)):
+                    sws, swe = ments[si]
+                    ows, owe = ments[oi]
+                    gap = ows - swe - 1
+                    if gap < 0 or gap > self.max_gap:
+                        continue
+                    s_cs0, s_ce0 = offs[sws], offs[swe] + len(words[swe])
+                    o_cs0, o_ce0 = offs[ows], offs[owe] + len(words[owe])
+                    # self-relations (same normalized entity) are dropped
+                    # (reference self_relations=False default)
+                    if normalize_entity_key(text[s_cs0:s_ce0]) == normalize_entity_key(
+                        text[o_cs0:o_ce0]
+                    ):
+                        continue
+                    between = " ".join(folded[swe + 1 : ows])
+                    pred = detect_predicate(between)
+                    s_cs, s_ce = offs[sws], offs[swe] + len(words[swe])
+                    o_cs, o_ce = offs[ows], offs[owe] + len(words[owe])
+                    s_text = text[s_cs:s_ce]
+                    o_text = text[o_cs:o_ce]
+                    o["cand_stable_id"].append(
+                        f"{urls[r]}::cand:{a0 + s_cs}:{a0 + o_ce}:{pred or 'none'}"
+                    )
+                    o["doc_id"].append(doc_ids[r])
+                    o["url"].append(urls[r])
+                    o["sent_idx"].append(int(sent_idxs[r]))
+                    o["sent_stable_id"].append(sids[r])
+                    o["pred"].append(pred)
+                    o["subj_text"].append(s_text)
+                    o["subj_key"].append(normalize_entity_key(s_text))
+                    o["subj_word_start"].append(sws)
+                    o["subj_word_end"].append(swe)
+                    o["obj_text"].append(o_text)
+                    o["obj_key"].append(normalize_entity_key(o_text))
+                    o["obj_word_start"].append(ows)
+                    o["obj_word_end"].append(owe)
+                    o["gap"].append(gap)
+                    o["between_text"].append(between)
+                    o["pre_text"].append(" ".join(folded[:sws]))
+                    o["sent_text"].append(text)
+
+        return pa.table(
+            {
+                "cand_stable_id": pa.array(o["cand_stable_id"], pa.string()),
+                "doc_id": pa.array(np.asarray(o["doc_id"], dtype=np.uint64), pa.uint64()),
+                "url": pa.array(o["url"], pa.string()),
+                "sent_idx": pa.array(o["sent_idx"], pa.int32()),
+                "sent_stable_id": pa.array(o["sent_stable_id"], pa.string()),
+                "pred": pa.array(o["pred"], pa.string()),
+                "subj_text": pa.array(o["subj_text"], pa.string()),
+                "subj_key": pa.array(o["subj_key"], pa.string()),
+                "subj_word_start": pa.array(o["subj_word_start"], pa.int32()),
+                "subj_word_end": pa.array(o["subj_word_end"], pa.int32()),
+                "obj_text": pa.array(o["obj_text"], pa.string()),
+                "obj_key": pa.array(o["obj_key"], pa.string()),
+                "obj_word_start": pa.array(o["obj_word_start"], pa.int32()),
+                "obj_word_end": pa.array(o["obj_word_end"], pa.int32()),
+                "gap": pa.array(o["gap"], pa.int32()),
+                "between_text": pa.array(o["between_text"], pa.string()),
+                "pre_text": pa.array(o["pre_text"], pa.string()),
+                "sent_text": pa.array(o["sent_text"], pa.string()),
+            }
+        )
+
+
+def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
+                       concurrency=(2, 8), batch_size: int = 1024):
+    return sentences.map_batches(
+        CandidateExtractor,
+        fn_constructor_args=(alias_ref,),
+        fn_constructor_kwargs={"max_gap": max_gap},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

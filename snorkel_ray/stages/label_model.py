@@ -1,0 +1,226 @@
+"""Generative label model as a streaming groupby-aggregate + driver fit.
+
+Reference: ``GenerativeModel`` (``snorkel/learning/gen_learning.py``
+≈L40–700) fits per-LF accuracies by SGD over a Gibbs-sampled factor
+graph (numbskull) holding the FULL label matrix in driver memory, then
+``marginals(L)`` scores each candidate.  That cannot stream at 10^12
+candidates.  Recast (BASELINE.json north star): the sufficient
+statistics of the independent-LF model are the COUNTS OF DISTINCT VOTE
+PATTERNS — with K LFs there are at most 3^K patterns and in practice a
+few hundred, so:
+
+1. [map_batches]  per-batch partial counts: pattern bytes -> n
+2. [groupby-agg]  global pattern counts (tiny all-to-all: rows ≤
+                  patterns × blocks, NOT candidates)
+3. [driver]       exact EM over the weighted patterns (numpy) —
+                  identical result to EM over all rows
+4. [map_batches]  posteriors per candidate with the learned weights
+                  captured in the task closure (broadcast once)
+
+P/R ≥ 0.95 tolerance absorbs Gibbs-vs-EM estimator drift (SURVEY.md A4).
+
+Model: y ∈ {-1,+1}, prior π = P(y=+1); per-LF accuracy
+α_k = P(λ_k = y | λ_k ≠ 0) with abstain propensity independent of y
+(so it cancels in the posterior).  Posterior:
+P(y=+1 | λ) ∝ π · Π_{k: λ_k≠0} α_k^{[λ_k=+1]} (1-α_k)^{[λ_k=-1]}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# 1+2: pattern-count sufficient statistics
+# ---------------------------------------------------------------------------
+
+def _pattern_counts_batch(batch: pa.Table) -> pa.Table:
+    L = batch.column("L")
+    flat = np.asarray(L.combine_chunks().flatten() if isinstance(L, pa.ChunkedArray)
+                      else L.flatten(), dtype=np.int8)
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"pattern": pa.array([], pa.binary()), "n": pa.array([], pa.int64())})
+    K = flat.size // n
+    mat = (flat.reshape(n, K) + 1).astype(np.uint8)  # {-1,0,1} -> {0,1,2}
+    patterns, counts = np.unique(mat, axis=0, return_counts=True)
+    return pa.table(
+        {
+            "pattern": pa.array([p.tobytes() for p in patterns], pa.binary()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def pattern_counts(labeled) -> "pa.Table":
+    """labeled Dataset (with L column) → tiny driver-side table of
+    (pattern bytes, count). Pre-aggregated per batch, then one small
+    groupby-sum (SURVEY.md A2/A3 partial+final pattern)."""
+    from ray.data.aggregate import Sum
+
+    partial = labeled.map_batches(_pattern_counts_batch, batch_format="pyarrow",
+                                  batch_size=16384)
+    agg = partial.groupby("pattern").aggregate(Sum("n", alias_name="n"))
+    df = agg.to_pandas()  # ≤ 3^K rows — safe to materialize
+    return pa.table({"pattern": pa.array(df["pattern"].tolist(), pa.binary()),
+                     "n": pa.array(df["n"].to_numpy(), pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# 3: driver-side EM over weighted patterns
+# ---------------------------------------------------------------------------
+
+def fit_label_model(counts: pa.Table, *, n_iter: int = 200, tol: float = 1e-9,
+                    smooth: float = 0.2) -> dict:
+    """Exact EM on pattern counts for the class-conditional model
+    P(λ_k = v | y), v ∈ {-1, 0, +1} — LF accuracy AND propensity per
+    class.  The propensity term is load-bearing (SURVEY.md §7 hard part
+    (b)): with accuracy-only parameters the all-one-class solution is a
+    global optimum (a "wrong" LF flips sign instead of penalizing), and
+    negative-evidence LFs that abstain on positives collapse.  Here an
+    LF that fires only on one class is itself evidence.
+
+    Returns {"theta": float64[K, 2, 3] with P(λ=v|y), "pi": float,
+    "alpha": float64[K] accuracies for reporting} — a few hundred
+    floats; broadcast by closure capture into the scoring stage.
+    """
+    pats = [np.frombuffer(b, dtype=np.uint8).astype(np.int8) - 1
+            for b in counts.column("pattern").to_pylist()]
+    if not pats:
+        return {"theta": np.zeros((0, 2, 3)), "pi": 0.5, "alpha": np.array([])}
+    Lp = np.stack(pats)  # (P, K) in {-1,0,1}
+    w = counts.column("n").to_numpy().astype(np.float64)  # (P,)
+    P, K = Lp.shape
+    # one-hot per vote value: V[v][p,k]; v index 0,1,2 = vote -1,0,+1
+    V = [(Lp == v) for v in (-1, 0, 1)]
+
+    # init: signed majority vote as soft labels
+    q = 1.0 / (1.0 + np.exp(-1.5 * Lp.sum(axis=1)))  # P(y=+1 | pattern)
+    pi = 0.5
+    theta = np.full((K, 2, 3), 1 / 3)  # [k, y(0:neg,1:pos), vote(-1,0,+1)]
+    ll_old = -np.inf
+    for _ in range(n_iter):
+        wq = w * q
+        wn = w * (1.0 - q)
+        for vi in range(3):
+            theta[:, 1, vi] = V[vi].T @ wq + smooth
+            theta[:, 0, vi] = V[vi].T @ wn + smooth
+        theta[:, 1, :] /= theta[:, 1, :].sum(axis=1, keepdims=True)
+        theta[:, 0, :] /= theta[:, 0, :].sum(axis=1, keepdims=True)
+        pi = float(np.clip((wq.sum() + smooth) / (w.sum() + 2 * smooth), 1e-6, 1 - 1e-6))
+        lt = np.log(theta)
+        logp_pos = np.log(pi) + sum(V[vi] @ lt[:, 1, vi] for vi in range(3))
+        logp_neg = np.log1p(-pi) + sum(V[vi] @ lt[:, 0, vi] for vi in range(3))
+        m = np.maximum(logp_pos, logp_neg)
+        lse = m + np.log(np.exp(logp_pos - m) + np.exp(logp_neg - m))
+        q = np.exp(logp_pos - lse)
+        ll = float(w @ lse)
+        if abs(ll - ll_old) < tol * max(1.0, abs(ll_old)):
+            break
+        ll_old = ll
+
+    # Identifiability (label switching): orient so that LFs agree with
+    # their own votes better than chance on average — the reference's
+    # LF-accuracy-prior convention (gen_learning.py LF_prior).
+    fire_pos = theta[:, 1, 2] + theta[:, 1, 0]  # P(fire | y=+1)
+    fire_neg = theta[:, 0, 2] + theta[:, 0, 0]
+    acc_pos = np.divide(theta[:, 1, 2], fire_pos, out=np.full(K, 0.5), where=fire_pos > 1e-12)
+    acc_neg = np.divide(theta[:, 0, 0], fire_neg, out=np.full(K, 0.5), where=fire_neg > 1e-12)
+    mean_acc = float(np.mean(0.5 * (acc_pos + acc_neg)))
+    if mean_acc < 0.5:
+        theta = theta[:, ::-1, :]
+        pi = 1.0 - pi
+        acc_pos, acc_neg = 1 - acc_neg, 1 - acc_pos
+    alpha = 0.5 * (acc_pos + acc_neg)
+    return {"theta": theta, "pi": pi, "alpha": alpha}
+
+
+# ---------------------------------------------------------------------------
+# 4: broadcast scoring (marginals)
+# ---------------------------------------------------------------------------
+
+def posterior(L: np.ndarray, theta: np.ndarray, pi: float) -> np.ndarray:
+    """P(y=+1 | λ) for an (n, K) int8 vote matrix — reference
+    ``GenerativeModel.marginals`` ≈L600–700, closed form under the
+    class-conditional categorical model."""
+    lt = np.log(np.maximum(theta, 1e-300))
+    logp_pos = np.full(L.shape[0], np.log(pi))
+    logp_neg = np.full(L.shape[0], np.log1p(-pi))
+    for vi, v in enumerate((-1, 0, 1)):
+        m = L == v
+        logp_pos = logp_pos + m @ lt[:, 1, vi]
+        logp_neg = logp_neg + m @ lt[:, 0, vi]
+    m = np.maximum(logp_pos, logp_neg)
+    return np.exp(logp_pos - m) / (np.exp(logp_pos - m) + np.exp(logp_neg - m))
+
+
+def score_marginals(labeled, model: dict, *, batch_size: int = 16384):
+    """Append float32 ``p`` to every labeled candidate row (stateless
+    map; weights ride in the serialized closure once)."""
+    theta = np.asarray(model["theta"], dtype=np.float64)
+    pi = float(model["pi"])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        Lc = batch.column("L")
+        flat = np.asarray(Lc.combine_chunks().flatten() if isinstance(Lc, pa.ChunkedArray)
+                          else Lc.flatten(), dtype=np.int8)
+        K = flat.size // max(n, 1)
+        p = posterior(flat.reshape(n, K), theta, pi) if n else np.array([])
+        return batch.append_column("p", pa.array(p.astype(np.float32), pa.float32()))
+
+    return labeled.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# LF diagnostics (SURVEY.md A2: coverage / overlap / conflict)
+# ---------------------------------------------------------------------------
+
+def _lf_stats_batch(batch: pa.Table) -> pa.Table:
+    Lc = batch.column("L")
+    flat = np.asarray(Lc.combine_chunks().flatten() if isinstance(Lc, pa.ChunkedArray)
+                      else Lc.flatten(), dtype=np.int8)
+    n = batch.num_rows
+    K = flat.size // max(n, 1) if n else 0
+    M = flat.reshape(n, K) if n else np.zeros((0, 0), np.int8)
+    nz = M != 0
+    labeled_count = nz.sum(axis=1)
+    others = labeled_count[:, None] - nz  # how many OTHER LFs labeled each row
+    overlap = (nz & (others > 0)).sum(axis=0)
+    pos_any = (M == 1).any(axis=1)
+    neg_any = (M == -1).any(axis=1)
+    disagree_row = pos_any & neg_any
+    conflict = (nz & disagree_row[:, None]).sum(axis=0)
+    return pa.table(
+        {
+            "lf_idx": pa.array(np.arange(K, dtype=np.int32), pa.int32()),
+            "n_rows": pa.array(np.full(K, n, dtype=np.int64), pa.int64()),
+            "n_labeled": pa.array(nz.sum(axis=0).astype(np.int64), pa.int64()),
+            "n_overlap": pa.array(overlap.astype(np.int64), pa.int64()),
+            "n_conflict": pa.array(conflict.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def lf_stats(labeled, lf_names: list[str]) -> "pa.Table":
+    """Per-LF coverage/overlap/conflict via partial per-batch count
+    vectors + one tiny groupby-sum (reference ``lf_stats`` semantics)."""
+    from ray.data.aggregate import Sum
+
+    partial = labeled.map_batches(_lf_stats_batch, batch_format="pyarrow",
+                                  batch_size=16384)
+    agg = partial.groupby("lf_idx").aggregate(
+        Sum("n_rows", alias_name="n_rows"), Sum("n_labeled", alias_name="n_labeled"),
+        Sum("n_overlap", alias_name="n_overlap"), Sum("n_conflict", alias_name="n_conflict"),
+    )
+    df = agg.to_pandas().sort_values("lf_idx")
+    n = df["n_rows"].to_numpy().astype(np.float64)
+    return pa.table(
+        {
+            "lf_name": pa.array([lf_names[i] for i in df["lf_idx"]], pa.string()),
+            "coverage": pa.array(df["n_labeled"] / np.maximum(n, 1), pa.float64()),
+            "overlap": pa.array(df["n_overlap"] / np.maximum(n, 1), pa.float64()),
+            "conflict": pa.array(df["n_conflict"] / np.maximum(n, 1), pa.float64()),
+        }
+    )

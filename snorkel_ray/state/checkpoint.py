@@ -1,0 +1,108 @@
+"""Per-stage checkpoint manifests → mid-pipeline resume (north rule).
+
+The reference's only checkpoint is the RDBMS itself — every
+``UDFRunner.apply`` commits ORM rows and ``clear=True`` wipes a stage
+(``snorkel/udf.py`` ≈L40–150).  Here each stage writes partitioned
+Parquet under ``<root>/<stage>/`` plus ``_manifest.json`` recording the
+stage's FINGERPRINT (hash of input fingerprint + stage name + params +
+code version), row count and counters.  A rerun recomputes a stage only
+when its fingerprint changed; otherwise it re-opens the parquet
+(lineage-accurate skip).  Writes are atomic: data lands in
+``<stage>.tmp/`` and is renamed over the final dir before the manifest
+is written, so a killed run can never leave a half-stage that passes
+the fingerprint check (FIXTURES.md F7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+CODE_VERSION = "1"  # bump to invalidate all checkpoints on semantic change
+
+
+def fingerprint(*parts: object) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        h.update(repr(p).encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+@dataclass
+class StageResult:
+    name: str
+    fingerprint: str
+    path: str | None
+    rows: int | None
+    skipped: bool
+
+
+@dataclass
+class CheckpointedPipeline:
+    """Orchestrates a linear chain of Dataset stages with skip-on-match.
+
+    ``root=None`` disables checkpointing entirely (stages just run);
+    used by unit tests and by purely-streaming invocations.
+    """
+
+    root: str | None
+    input_fingerprint: str
+    log: list[StageResult] = field(default_factory=list)
+
+    def stage(self, name: str, params: dict, build, prev_fp: str | None = None):
+        """Run (or skip) one stage.
+
+        ``build()`` must return a ``ray.data.Dataset``. Returns
+        ``(dataset, stage_fingerprint)``. When checkpointing is on, the
+        returned dataset reads from the stage's parquet dir — i.e. the
+        stage is a pipeline barrier, which is exactly what makes it a
+        resume point.
+        """
+        import ray.data as rd
+
+        fp = fingerprint(prev_fp or self.input_fingerprint, name, sorted(params.items()),
+                         CODE_VERSION)
+        if self.root is None:
+            ds = build()
+            self.log.append(StageResult(name, fp, None, None, False))
+            return ds, fp
+
+        final = os.path.join(self.root, name)
+        manifest_path = os.path.join(final, "_manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("fingerprint") == fp:
+                self.log.append(StageResult(name, fp, final, m.get("rows"), True))
+                return rd.read_parquet(final), fp
+            shutil.rmtree(final)
+
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ds = build()
+        ds.write_parquet(tmp)
+        rows = sum(1 for _ in ())  # filled below without a second pass
+        # count rows from written file metadata (cheap, no recompute)
+        import pyarrow.parquet as pq
+
+        rows = 0
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                rows += pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        with open(manifest_path, "w") as f:
+            json.dump({"fingerprint": fp, "stage": name, "rows": rows,
+                       "params": {k: repr(v) for k, v in params.items()},
+                       "code_version": CODE_VERSION}, f, indent=1)
+        self.log.append(StageResult(name, fp, final, rows, False))
+        return rd.read_parquet(final), fp
+
+    def summary(self) -> list[dict]:
+        return [{"stage": r.name, "skipped": r.skipped, "rows": r.rows} for r in self.log]
