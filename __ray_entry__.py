@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline over pages synthesized
+deterministically from ``/root/testdata/sf0.001/documents.parquet``;
+``queries()``/``oracle_sql()`` expose one entry per implemented
+operator from SURVEY.md §2, DuckDB-checked at sf0.01 where the
+semantics are SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,475 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TESTDATA_DEFAULT = "/root/testdata/sf0.001"
+
+# alias dictionary over the testdata documents vocabulary: domain words
+# act as "entities" so the dictionary/mention/candidate machinery runs
+# on real tables (documents.text is lowercase space-separated words).
+_DOC_ALIASES = ["spark", "hash", "join", "data", "query",
+                "stream", "table", "row", "batch", "filter"]
+
+
+def _doc_alias_table() -> pa.Table:
+    return pa.table({
+        "alias": pa.array(_DOC_ALIASES, pa.string()),
+        "entity_qid": pa.array([f"T{i}" for i in range(len(_DOC_ALIASES))], pa.string()),
+        "prior": pa.array([1.0] * len(_DOC_ALIASES), pa.float32()),
+    })
+
+
+def _docs_as_pages(sf_dir: str):
+    """documents.parquet → pages(url, warc_ts, html, text, lang):
+    deterministic HTML wrap, one <p> per text (the extractor must
+    round-trip it byte-identically)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def _wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        htmls = [f"<html><body><p>{t}</p></body></html>".encode() for t in texts]
+        n = len(ids)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.asarray(ids, np.int64) * 1_000_000,
+                                pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": batch.column("lang"),
+        })
+
+    return ds.map_batches(_wrap, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001 documents-as-pages: extract →
+    sentences → co-occurrence candidates over a domain alias dict →
+    LFs → label model → link → dedup/sort triples."""
+    from snorkel_ray.pipelines.kg import run_kg_pipeline
+
+    pages = _docs_as_pages(TESTDATA_DEFAULT)
+    triples, _ = run_kg_pipeline(pages, _doc_alias_table(), facts=None,
+                                 lang="en", cooccur_pred="near",
+                                 cooccur_gap=3, threshold=0.4)
+    return triples
+
+
+# ===========================================================================
+# queries / oracle_sql — one entry per operator family
+# ===========================================================================
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- aggregations -----------------------------------------------------------
+
+def q_doc_count_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                       Sum("n_chars", alias_name="total_chars"))
+    return out.sort("lang")
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-ish: vectorized revenue inside map_batches, then grouped
+    sums (partial aggregation is Ray Data's native hash-agg)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("revenue", rev)
+
+    out = (ds.map_batches(_rev, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="n_rows")))
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+# --- sort / top-k -----------------------------------------------------------
+
+def q_top10_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# --- joins ------------------------------------------------------------------
+
+def q_customer_order_join(sf_dir: str):
+    """Hash join (both sides shuffled on key) + grouped agg."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+    return out.sort("c_mktsegment")
+
+
+def q_broadcast_join_nation_region(sf_dir: str):
+    """Small-side broadcast lookup join — the no-shuffle pattern
+    (SURVEY.md J4): region is read ONCE on the driver and mapped in."""
+    from ray.data.aggregate import Count
+
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def _lookup(b: pa.Table) -> pa.Table:
+        names = [rmap[k] for k in b.column("n_regionkey").to_pylist()]
+        return b.append_column("r_name", pa.array(names, pa.string()))
+
+    out = (nation.map_batches(_lookup, batch_format="pyarrow")
+           .groupby("r_name").aggregate(Count(alias_name="n_nations")))
+    return out.sort("r_name")
+
+
+# --- filter / distinct / dedup ---------------------------------------------
+
+def q_filter_long_docs(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    filtered = ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_chars"), 300)),
+        batch_format="pyarrow")
+    return filtered.groupby("source").aggregate(Count(alias_name="n_long")).sort("source")
+
+
+def q_distinct_part_types(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", ["p_type"])
+    distinct = ds.groupby("p_type").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+    def _count(b: pa.Table) -> pa.Table:
+        return pa.table({"n_types": pa.array([b.num_rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    res = (distinct.map_batches(_count, batch_format="pyarrow")
+           .aggregate(Sum("n_types", alias_name="n_types")))
+    return pa.table({"n_types": pa.array([res["n_types"]], pa.int64())})
+
+
+def q_exact_dedup_documents(sf_dir: str):
+    """Exact dedup on text → surviving row count (documents are unique
+    in testdata, so survivors == row count — the oracle proves it)."""
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = exact_dedup(ds, "text", keep_key="doc_id")
+
+    def _count(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    res = kept.map_batches(_count, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n_unique"))
+    return pa.table({"n_unique": pa.array([res["n_unique"]], pa.int64())})
+
+
+# --- scalar functions / json ------------------------------------------------
+
+def q_events_json_extract(sf_dir: str):
+    """JSON scalar path over events.props + grouped mean."""
+    from ray.data.aggregate import Count, Mean
+
+    from snorkel_ray.functions.exprs import json_extract_double
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def _extract(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "k": json_extract_double(b.column("props"), "k")})
+
+    out = (ds.map_batches(_extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Mean("k", alias_name="avg_k"), Count(alias_name="n_events")))
+    return out.sort("event_type")
+
+
+def q_events_daily_counts(sf_dir: str):
+    """Event-time bucketing (tumbling day window as group key)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        return pa.table({"day": day, "value": b.column("value")})
+
+    out = (ds.map_batches(_day, batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n_events"),
+                                     Sum("value", alias_name="sum_value")))
+    return out.sort("day")
+
+
+# --- text operators over documents -----------------------------------------
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counting (text_analysis.count_tokens) summed
+    per lang. documents.text is lowercase space-separated words, so the
+    whitespace count is SQL-expressible exactly."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.text_analysis import count_tokens
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        ws = [count_tokens(t)[0] for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n_tokens": pa.array(ws, pa.int64())})
+
+    return (ds.map_batches(_tok, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n_tokens", alias_name="total_tokens"))
+            .sort("lang"))
+
+
+def q_mention_counts(sf_dir: str):
+    """Dictionary mention detection (greedy longest-match scan) over
+    documents.text; single-word aliases on space-separated text make
+    the scan equal word frequency — SQL-checkable."""
+    from ray.data.aggregate import Sum
+
+    alias = set(_DOC_ALIASES)
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _scan(b: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {a: 0 for a in alias}
+        for t in b.column("text").to_pylist():
+            for w in t.split(" "):
+                if w in alias:
+                    counts[w] += 1
+        ks = sorted(counts)
+        return pa.table({"alias": pa.array(ks, pa.string()),
+                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = (ds.map_batches(_scan, batch_format="pyarrow")
+           .groupby("alias").aggregate(Sum("n", alias_name="n_mentions")))
+    # the SQL oracle only yields aliases that occur; mirror that
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_mentions"), 0)),
+        batch_format="pyarrow").sort("alias")
+
+
+def q_lf_keyword_coverage(sf_dir: str):
+    """Vectorized labeling functions over documents.text: three keyword
+    LFs vote +1; per-LF coverage counts (SURVEY.md A1/A2)."""
+    from ray.data.aggregate import Sum
+
+    kws = ["spark", "query", "stream"]
+
+    def _lf(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        rows_lf, rows_n = [], []
+        for kw in kws:
+            rows_lf.append(f"lf_contains_{kw}")
+            rows_n.append(sum(1 for t in texts if kw in t.split(" ")))
+        return pa.table({"lf_name": pa.array(rows_lf, pa.string()),
+                         "n_fired": pa.array(rows_n, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return (ds.map_batches(_lf, batch_format="pyarrow")
+            .groupby("lf_name").aggregate(Sum("n_fired", alias_name="n_fired"))
+            .sort("lf_name"))
+
+
+# --- embeddings / similarity ------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float32)
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (broadcast
+    query, per-batch partial top-k, global merge)."""
+    from snorkel_ray.stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _query_vec(sf_dir), k=10)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "cosine_r": pc.round(b.column("cosine"), 4)})
+
+    return out.map_batches(_round, batch_format="pyarrow").sort(
+        ["cosine_r", "vec_id"], descending=[True, False])
+
+
+# --- non-SQL-expressible ops (rows-only checks) ------------------------------
+
+def q_minhash_dedup_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clustering over documents (rows-only check:
+    one row per doc with its cluster id)."""
+    from snorkel_ray.stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds, "text", "doc_id", num_perm=32, bands=8, threshold=0.7)
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    from snorkel_ray.stages.dedup import add_simhash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_simhash(ds, "text").select_columns(["doc_id", "simhash"]).sort("doc_id")
+
+
+def q_text_analysis(sf_dir: str):
+    """lang-id + quality + token counts + fingerprint per doc."""
+    from snorkel_ray.stages.text_analysis import analyze_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (analyze_text(ds)
+            .select_columns(["doc_id", "lang_pred", "quality", "ws_tokens",
+                             "bpe_tokens", "fingerprint"])
+            .sort("doc_id"))
+
+
+def q_kg_pipeline_sf(sf_dir: str):
+    """Flagship KG pipeline over documents-as-pages (rows-only)."""
+    from snorkel_ray.pipelines.kg import run_kg_pipeline
+
+    pages = _docs_as_pages(sf_dir)
+    triples, _ = run_kg_pipeline(pages, _doc_alias_table(), facts=None,
+                                 lang="en", cooccur_pred="near",
+                                 cooccur_gap=3, threshold=0.4)
+    return triples
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN variant (rows-only: approximate by construction)."""
+    from snorkel_ray.stages.similarity import fit_centroids, ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = fit_centroids(ds, n_centroids=8)
+    return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=3)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_count_by_lang": q_doc_count_by_lang,
+        "lineitem_agg": q_lineitem_agg,
+        "top10_orders": q_top10_orders,
+        "customer_order_join": q_customer_order_join,
+        "broadcast_join_nation_region": q_broadcast_join_nation_region,
+        "filter_long_docs": q_filter_long_docs,
+        "distinct_part_types": q_distinct_part_types,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "events_json_extract": q_events_json_extract,
+        "events_daily_counts": q_events_daily_counts,
+        "token_counts": q_token_counts,
+        "mention_counts": q_mention_counts,
+        "lf_keyword_coverage": q_lf_keyword_coverage,
+        "embedding_topk": q_embedding_topk,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "text_analysis": q_text_analysis,
+        "kg_pipeline": q_kg_pipeline_sf,
+        "ivf_topk": q_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_count_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "top10_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "customer_order_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(o_totalprice) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "broadcast_join_nation_region": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name""",
+        "filter_long_docs": """
+            SELECT source, count(*) AS n_long FROM documents
+            WHERE n_chars > 300 GROUP BY source ORDER BY source""",
+        "distinct_part_types": """
+            SELECT count(DISTINCT p_type) AS n_types FROM part""",
+        "exact_dedup_documents": """
+            SELECT count(DISTINCT text) AS n_unique FROM documents""",
+        "events_json_extract": """
+            SELECT event_type,
+                   avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "events_daily_counts": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+                   sum(value) AS sum_value
+            FROM events GROUP BY 1 ORDER BY day""",
+        "token_counts": """
+            SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "mention_counts": """
+            WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            SELECT w AS alias, count(*) AS n_mentions FROM words
+            WHERE w IN ('spark','hash','join','data','query',
+                        'stream','table','row','batch','filter')
+            GROUP BY w ORDER BY alias""",
+        "lf_keyword_coverage": """
+            SELECT lf_name, n_fired FROM (
+              SELECT 'lf_contains_spark' AS lf_name,
+                     sum(CASE WHEN list_contains(string_split(text,' '), 'spark')
+                         THEN 1 ELSE 0 END) AS n_fired FROM documents
+              UNION ALL
+              SELECT 'lf_contains_query',
+                     sum(CASE WHEN list_contains(string_split(text,' '), 'query')
+                         THEN 1 ELSE 0 END) FROM documents
+              UNION ALL
+              SELECT 'lf_contains_stream',
+                     sum(CASE WHEN list_contains(string_split(text,' '), 'stream')
+                         THEN 1 ELSE 0 END) FROM documents
+            ) ORDER BY lf_name""",
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4)
+                     AS cosine_r
+            FROM embeddings
+            ORDER BY cosine_r DESC, vec_id LIMIT 10""",
+    }

@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract, BASELINE.md protocol).
+
+Plain run: ONE JSON line
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline pipeline in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
+cluster nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from snorkel_ray.pipelines.kg import run_kg_pipeline
+    from snorkel_ray.synth import alias_table, build_kb, pages_dataset
+
+    results: dict[str, float] = {}
+
+    # headline: flagship KG pipeline over the deterministic synthetic
+    # corpus (planted KB; BENCH_PAGES rows), end-to-end to triple count.
+    kb = build_kb(42)
+    at = alias_table(kb)
+
+    # warm the page-gen + OS cache once, untimed (BASELINE.md protocol)
+    pages_dataset(2000, 42).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    n_triples = 0
+
+    def _headline():
+        nonlocal n_triples
+        pages = pages_dataset(BENCH_PAGES, 42)
+        triples, _ = run_kg_pipeline(pages, at, kb["facts"],
+                                     concurrency=(2, max(4, NUM_CPUS // 2)))
+        n_triples = triples.count()
+
+    headline_sec = _timed(_headline)
+    results["kg_pipeline_synth"] = round(headline_sec, 3)
+
+    # micro-baselines over the sf dir (regression tracking)
+    micro = ["lineitem_agg", "customer_order_join", "token_counts",
+             "embedding_topk", "text_analysis", "minhash_dedup_clusters"]
+    qs = entrymod.queries()
+    for name in micro:
+        try:
+            results[name] = round(_timed(lambda: qs[name](SF_DIR).to_pandas()), 3)
+        except Exception as e:  # a broken micro must not kill the headline metric
+            results[name] = -1.0
+            print(f"micro {name} failed: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "kg_pipeline_synth_e2e_sec",
+        "value": results["kg_pipeline_synth"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_pages": BENCH_PAGES,
+        "triples": n_triples,
+        "pages_per_sec": round(BENCH_PAGES / headline_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "bench_pages": r_lo["bench_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate: run every
+__ray_entry__.queries() entry at sf0.01 and compare against
+oracle_sql() via DuckDB (row count + sorted-column value equality).
+
+Usage: python scripts/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    sort_cols = list(df.columns)
+    df = df.sort_values(sort_cols).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    issues = []
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        issues.append(f"schema: ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
+        return issues
+    if len(ray_df) != len(sql_df):
+        issues.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+        return issues
+    a, b = canon(ray_df), canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), rtol=1e-6, atol=1e-9)
+        else:
+            ok = (av.astype(str) == bv.astype(str)).all()
+        if not ok:
+            issues.append(f"values differ in column {c}")
+    return issues
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        try:
+            ray_df = to_df(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(ray_df)} rows)")
+            continue
+        try:
+            sql_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {e}")
+            n_fail += 1
+            continue
+        issues = compare(name, ray_df, sql_df)
+        if issues:
+            print(f"FAIL {name}: {'; '.join(issues)}")
+            print("  ray:", ray_df.head(3).to_dict("records"))
+            print("  sql:", sql_df.head(3).to_dict("records"))
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(ray_df)} rows match oracle")
+    ray.shutdown()
+    print(f"\n{len(qs) - n_fail}/{len(qs)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Scalar function library over pyarrow.compute (SURVEY.md §2.8).
+
+The reference scatters these (case-fold in ``matchers.py`` ≈L95, PTB
+unescape in ``corenlp.py`` ≈L250, slugify in ``models/context.py``
+≈L410, span joins in ``context.py`` ≈L300); here they are explicit
+vectorized kernels usable inside any ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# string
+# ---------------------------------------------------------------------------
+
+def casefold(arr):
+    return pc.utf8_lower(arr)
+
+
+def strip_ws(arr):
+    return pc.utf8_trim_whitespace(arr)
+
+
+def collapse_ws(arr):
+    return pc.replace_substring_regex(arr, r"\s+", " ")
+
+
+def slugify(arr):
+    """lowercase, non-alnum runs → '-' (stable-id style)."""
+    out = pc.replace_substring_regex(pc.utf8_lower(arr), r"[^a-z0-9]+", "-")
+    return pc.replace_substring_regex(out, r"^-|-$", "")
+
+
+_PTB_UNESCAPE = [("-LRB-", "("), ("-RRB-", ")"), ("-LSB-", "["), ("-RSB-", "]"),
+                 ("-LCB-", "{"), ("-RCB-", "}")]
+
+
+def ptb_unescape(arr):
+    """PTB bracket token unescape (reference ``corenlp.py`` ≈L250)."""
+    for tok, rep in _PTB_UNESCAPE:
+        arr = pc.replace_substring(arr, tok, rep)
+    return arr
+
+
+def concat_ws(sep: str, *arrays):
+    return pc.binary_join_element_wise(*arrays, sep)
+
+
+def regex_contains(arr, pattern: str):
+    return pc.match_substring_regex(arr, pattern)
+
+
+def regex_extract_first(arr, pattern: str):
+    """First capture group per value ('' if no match) — pyarrow has no
+    extract kernel; python re over the column (non-hot-path helper)."""
+    import re
+
+    rgx = re.compile(pattern)
+    vals = arr.to_pylist() if hasattr(arr, "to_pylist") else list(arr)
+    out = []
+    for v in vals:
+        m = rgx.search(v) if v is not None else None
+        out.append(m.group(1) if m and m.groups() else (m.group(0) if m else ""))
+    return pa.array(out, pa.string())
+
+
+# ---------------------------------------------------------------------------
+# list / array
+# ---------------------------------------------------------------------------
+
+def list_len(arr):
+    return pc.list_value_length(arr)
+
+
+def list_slice(arr, start: int, stop: int):
+    return pc.list_slice(arr, start, stop)
+
+
+def tokens_join(list_arr, sep: str = " "):
+    """list<string> → string join (reference ``get_span`` semantics)."""
+    return pc.binary_join(list_arr, sep)
+
+
+# ---------------------------------------------------------------------------
+# math
+# ---------------------------------------------------------------------------
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
+
+
+def safe_div(num, den):
+    n = np.asarray(num, dtype=np.float64)
+    d = np.asarray(den, dtype=np.float64)
+    return np.divide(n, d, out=np.zeros_like(n), where=d != 0)
+
+
+# ---------------------------------------------------------------------------
+# json (testdata ``events.props`` precedent; reference pickled
+# ``Document.meta`` becomes a JSON string column)
+# ---------------------------------------------------------------------------
+
+def json_extract(arr, key: str):
+    """Extract a top-level key from a JSON-string column → string array
+    ('' when missing). stdlib json per value (columnar in/out)."""
+    vals = arr.to_pylist() if hasattr(arr, "to_pylist") else list(arr)
+    out = []
+    for v in vals:
+        try:
+            d = json.loads(v) if v else {}
+            got = d.get(key, "")
+            out.append("" if got is None else str(got))
+        except (json.JSONDecodeError, TypeError, AttributeError):
+            out.append("")
+    return pa.array(out, pa.string())
+
+
+def json_extract_double(arr, key: str):
+    vals = arr.to_pylist() if hasattr(arr, "to_pylist") else list(arr)
+    out = np.full(len(vals), np.nan)
+    for i, v in enumerate(vals):
+        try:
+            d = json.loads(v) if v else {}
+            if key in d and d[key] is not None:
+                out[i] = float(d[key])
+        except (json.JSONDecodeError, TypeError, ValueError):
+            pass
+    return pa.array(out, pa.float64())

@@ -40,7 +40,9 @@ def run_kg_pipeline(
     checkpoint_dir: str | None = None,
     out_dir: str | None = None,
     input_fingerprint: str = "pages",
-    concurrency=(2, 8),
+    concurrency=None,
+    cooccur_pred: str | None = None,
+    cooccur_gap: int = 3,
 ):
     """→ (triples Dataset, info dict). Ray must already be initialised
     by the caller (driver contract: this function never calls
@@ -58,7 +60,8 @@ def run_kg_pipeline(
 
     labeled, fp = cp.stage(
         "labeled",
-        {"lang": lang, "lfs": "kg_v1"},
+        {"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
+         "cooccur_gap": cooccur_gap},
         lambda: apply_lfs(
             extract_candidates(
                 split_docs_to_sentences(
@@ -67,6 +70,8 @@ def run_kg_pipeline(
                     )
                 ),
                 alias_ref,
+                cooccur_pred=cooccur_pred,
+                cooccur_gap=cooccur_gap,
                 concurrency=concurrency,
             ),
             kb_ref,

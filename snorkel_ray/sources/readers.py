@@ -1,0 +1,141 @@
+"""Document source adapters (SURVEY.md S1–S7).
+
+Reference: ``snorkel/parser/doc_preprocessors.py`` — generator classes
+yielding ``(Document, text)`` in the driver.  Here every source is a
+Ray Data read composed with a vectorized decode step, producing the
+uniform docs-ish schema ``(url, doc_id, text, meta_json)``.  ``max_docs``
+(S1's cap) maps to ``.limit(n)`` — applied BEFORE the decode map so the
+read prunes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ids import doc_id_of_url
+
+
+def _docs_table(names: list[str], texts: list[str], metas: list[str] | None = None) -> pa.Table:
+    ids = np.fromiter((doc_id_of_url(n) for n in names), dtype=np.uint64, count=len(names))
+    return pa.table(
+        {
+            "url": pa.array(names, pa.string()),
+            "doc_id": pa.array(ids, pa.uint64()),
+            "text": pa.array(texts, pa.string()),
+            "meta_json": pa.array(metas or ["{}"] * len(names), pa.string()),
+        }
+    )
+
+
+def read_tsv_docs(path: str | list[str], *, max_docs: int | None = None):
+    """S2 ``TSVDocPreprocessor``: one doc per line ``name\\ttext``."""
+    import ray.data as rd
+
+    ds = rd.read_text(path)
+    if max_docs is not None:
+        ds = ds.limit(max_docs)
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        names, texts = [], []
+        for line in batch.column("text").to_pylist():
+            if not line.strip():
+                continue
+            name, _, body = line.partition("\t")
+            names.append(name)
+            texts.append(body)
+        return _docs_table(names, texts)
+
+    return ds.map_batches(_parse, batch_format="pyarrow")
+
+
+def read_text_docs(paths: str | list[str], *, max_docs: int | None = None):
+    """S3 ``TextDocPreprocessor``: one doc per file."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    if max_docs is not None:
+        ds = ds.limit(max_docs)
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        paths_ = batch.column("path").to_pylist()
+        names = [os.path.splitext(os.path.basename(p))[0] for p in paths_]
+        texts = [bytes(b).decode("utf-8", errors="replace")
+                 for b in batch.column("bytes").to_pylist()]
+        return _docs_table(names, texts)
+
+    return ds.map_batches(_decode, batch_format="pyarrow")
+
+
+def read_csv_paths_docs(csv_path: str, *, column: str = "path",
+                        max_docs: int | None = None):
+    """S4 ``CSVPathsPreprocessor``: a CSV of file paths → one doc per
+    referenced file (paths resolved inside the map — distributed open)."""
+    import ray.data as rd
+
+    paths = rd.read_csv(csv_path)
+    if max_docs is not None:
+        paths = paths.limit(max_docs)
+
+    def _open(batch: pa.Table) -> pa.Table:
+        names, texts = [], []
+        for p in batch.column(column).to_pylist():
+            with open(p, "rb") as f:
+                texts.append(f.read().decode("utf-8", errors="replace"))
+            names.append(os.path.splitext(os.path.basename(p))[0])
+        return _docs_table(names, texts)
+
+    return paths.map_batches(_open, batch_format="pyarrow")
+
+
+def read_html_docs(paths: str | list[str], *, max_docs: int | None = None):
+    """S6 ``HTMLDocPreprocessor`` over files (the flagship pages path
+    reads parquet instead; this adapter covers directory-of-.html)."""
+    import ray.data as rd
+
+    from ..stages.extract import html_to_text
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    if max_docs is not None:
+        ds = ds.limit(max_docs)
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        paths_ = batch.column("path").to_pylist()
+        names = [os.path.splitext(os.path.basename(p))[0] for p in paths_]
+        texts = [html_to_text(bytes(b)) for b in batch.column("bytes").to_pylist()]
+        return _docs_table(names, texts)
+
+    return ds.map_batches(_decode, batch_format="pyarrow")
+
+
+def read_xml_multidocs(paths: str | list[str], *, doc_xpath: str = ".//document",
+                       id_xpath: str = "id", text_xpath: str = "text",
+                       max_docs: int | None = None):
+    """S7 ``XMLMultiDocPreprocessor``: one XML file → many docs.
+    stdlib ElementTree (no lxml in env); xpaths are ET-limited paths."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        names, texts, metas = [], [], []
+        for path, raw in zip(batch.column("path").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            root = ET.fromstring(bytes(raw).decode("utf-8", errors="replace"))
+            for el in root.findall(doc_xpath):
+                did = el.findtext(id_xpath) or ""
+                txt = " ".join(t.strip() for t in el.find(text_xpath).itertext()) \
+                    if el.find(text_xpath) is not None else ""
+                names.append(did or os.path.basename(path))
+                texts.append(txt)
+                metas.append(json.dumps({"source_file": os.path.basename(path)}))
+        return _docs_table(names, texts, metas)
+
+    out = ds.map_batches(_explode, batch_format="pyarrow")
+    if max_docs is not None:
+        out = out.limit(max_docs)
+    return out

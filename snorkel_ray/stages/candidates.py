@@ -41,7 +41,8 @@ CANDIDATE_COLUMNS = [
 
 
 class CandidateExtractor:
-    def __init__(self, alias_ref, *, max_gap: int = 12):
+    def __init__(self, alias_ref, *, max_gap: int = 12,
+                 cooccur_pred: str | None = None, cooccur_gap: int = 3):
         import ray
 
         table = alias_ref if isinstance(alias_ref, pa.Table) else ray.get(alias_ref)
@@ -50,6 +51,11 @@ class CandidateExtractor:
         self.max_len = idx["max_len"]
         self.first_tokens = idx["first_tokens"]
         self.max_gap = max_gap
+        # optional generic predicate for trigger-less nearby pairs —
+        # used by corpora without a trigger lexicon (e.g. co-occurrence
+        # KGs); None disables it (flagship default).
+        self.cooccur_pred = cooccur_pred
+        self.cooccur_gap = cooccur_gap
 
     # same greedy longest-match sweep as MentionDetector (kept local so
     # the fused stage has no cross-module state)
@@ -112,6 +118,8 @@ class CandidateExtractor:
                         continue
                     between = " ".join(folded[swe + 1 : ows])
                     pred = detect_predicate(between)
+                    if not pred and self.cooccur_pred and gap <= self.cooccur_gap:
+                        pred = self.cooccur_pred
                     s_cs, s_ce = offs[sws], offs[swe] + len(words[swe])
                     o_cs, o_ce = offs[ows], offs[owe] + len(words[owe])
                     s_text = text[s_cs:s_ce]
@@ -162,11 +170,17 @@ class CandidateExtractor:
 
 
 def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
-                       concurrency=(2, 8), batch_size: int = 1024):
+                       cooccur_pred: str | None = None, cooccur_gap: int = 3,
+                       concurrency=None, batch_size: int = 1024):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
     return sentences.map_batches(
         CandidateExtractor,
         fn_constructor_args=(alias_ref,),
-        fn_constructor_kwargs={"max_gap": max_gap},
+        fn_constructor_kwargs={"max_gap": max_gap, "cooccur_pred": cooccur_pred,
+                               "cooccur_gap": cooccur_gap},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -21,18 +21,25 @@ Unlinked keys (qid == "") become singleton clusters ``C:<key>``.
 from __future__ import annotations
 
 import pyarrow as pa
-from ray.data.aggregate import Min
 
 
 def connected_components(edges, src: str = "src", dst: str = "dst",
-                         *, max_iter: int = 4, num_partitions: int = 16):
+                         *, max_iter: int = 4, num_partitions: int = 4):
     """edges Dataset (two string cols) → Dataset (node, label) where
     label = lexicographic min node id in the component.
 
-    Label propagation on the bipartite edge list: alternately assign
-    each dst the min label of its srcs, then each src the min label of
-    its dsts. Each half-round is one groupby-min plus one hash join to
-    rewrite edge labels.
+    Label propagation on the edge list: alternate grouping the edge
+    state by dst then by src, setting every edge's label to the group
+    min — one hash-partitioned groupby per half-round, NO join (each
+    round is a single shuffle of the edge table; ``Dataset.join`` is
+    avoided deliberately — its hash-shuffle finalize breaks on empty
+    partitions in ray 2.49, and a groupby-assign expresses the same
+    semantics with one less all-to-all).
+
+    The edge-state table is ``materialize()``d between rounds: it is
+    the DISTINCT edge set (bounded, ≪ the corpus — callers dedup
+    first), and pinning it keeps each round's plan to exactly one
+    shuffle (stacked lazy shuffle rounds deadlocked a 4-CPU session).
     """
     # edge state: (src, dst, lbl) with lbl starting as min(src, dst)
     def _init(b: pa.Table) -> pa.Table:
@@ -41,21 +48,19 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         lbl = pc.min_element_wise(b.column(src), b.column(dst))
         return pa.table({"src": b.column(src), "dst": b.column(dst), "lbl": lbl})
 
-    state = edges.map_batches(_init, batch_format="pyarrow")
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    state = edges.map_batches(_init, batch_format="pyarrow").materialize()
+
+    def _prop(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["lbl"] = g["lbl"].min()
+        return g
 
     for it in range(max_iter):
         side = "dst" if it % 2 == 0 else "src"
-        mins = state.groupby(side).aggregate(Min("lbl", alias_name="new_lbl"))
-        state = state.join(mins, join_type="inner", num_partitions=num_partitions,
-                           on=(side,))
-
-        def _update(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            lbl = pc.min_element_wise(b.column("lbl"), b.column("new_lbl"))
-            return pa.table({"src": b.column("src"), "dst": b.column("dst"), "lbl": lbl})
-
-        state = state.map_batches(_update, batch_format="pyarrow")
+        state = state.groupby(side).map_groups(_prop, batch_format="pandas").materialize()
 
     # final node → label: min over both endpoints' rows
     def _explode(b: pa.Table) -> pa.Table:
@@ -85,7 +90,7 @@ def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):
         # qid nodes get a "Q!" prefix sorting BEFORE any surface key so the
         # component min-label is always the (prefixed) qid — deterministic.
         return pa.table({"src": pc.binary_join_element_wise(
-            pa.array(["!"] * t.num_rows), t.column("qid"), ""),
+            pa.array(["!"] * t.num_rows, pa.string()), t.column("qid"), ""),
             "dst": t.column("entity_key")})
 
     from ray.data.aggregate import Count

@@ -63,6 +63,9 @@ def pattern_counts(labeled) -> "pa.Table":
                                   batch_size=16384)
     agg = partial.groupby("pattern").aggregate(Sum("n", alias_name="n"))
     df = agg.to_pandas()  # ≤ 3^K rows — safe to materialize
+    if len(df) == 0 or "pattern" not in df.columns:  # empty corpus
+        return pa.table({"pattern": pa.array([], pa.binary()),
+                         "n": pa.array([], pa.int64())})
     return pa.table({"pattern": pa.array(df["pattern"].tolist(), pa.binary()),
                      "n": pa.array(df["n"].to_numpy(), pa.int64())})
 

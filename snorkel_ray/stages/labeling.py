@@ -177,7 +177,11 @@ class LFApplier:
         return batch.append_column("L", L)
 
 
-def apply_lfs(candidates, kb_ref=None, *, batch_size: int = 4096, concurrency=(2, 8)):
+def apply_lfs(candidates, kb_ref=None, *, batch_size: int = 4096, concurrency=None):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
     return candidates.map_batches(
         LFApplier,
         fn_constructor_args=(kb_ref,),

@@ -72,7 +72,11 @@ class LinkerActor:
         return batch
 
 
-def link_mentions(mentions, alias_ref, *, concurrency=(2, 8), batch_size: int = 4096):
+def link_mentions(mentions, alias_ref, *, concurrency=None, batch_size: int = 4096):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
     return mentions.map_batches(
         LinkerActor,
         fn_constructor_args=(alias_ref,),

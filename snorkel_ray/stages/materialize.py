@@ -24,7 +24,11 @@ from .linking import LinkerActor
 TRIPLE_KEY = ["subj_qid", "pred", "obj_qid"]
 
 
-def link_candidates(scored, alias_ref, *, concurrency=(2, 8), batch_size: int = 8192):
+def link_candidates(scored, alias_ref, *, concurrency=None, batch_size: int = 8192):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
     """Append subj_qid/obj_qid (+ link scores) to scored candidates —
     one actor pool pass, both argument keys linked per batch."""
 

@@ -138,7 +138,11 @@ class MentionDetector:
         )
 
 
-def detect_mentions(sentences, alias_ref, *, concurrency=(2, 8), batch_size: int = 1024):
+def detect_mentions(sentences, alias_ref, *, concurrency=None, batch_size: int = 1024):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
     """sentences → mentions via an actor pool holding the alias index."""
     return sentences.map_batches(
         MentionDetector,

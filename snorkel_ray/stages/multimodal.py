@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Brief-mandated family.  Image/audio/video payloads are opaque
+``binary`` columns with metadata (mime, width/height/duration) carried
+as plain columns.  The DECODE step is stubbed (no image/audio libs in
+this container — gated behind import-try with a deterministic fake for
+tests), but the Ray-side plumbing is real: actor-pool ``map_batches``
+with small ``batch_size`` (payload rows are wide — giant-row skew),
+schema-stable outputs, and per-actor one-time codec setup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("meta_json", pa.string()),
+    ]
+)
+
+
+def _try_import_pillow():
+    try:  # pragma: no cover - not present in this container
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+class ImageDecoder:
+    """Actor-pool decode stage.  With Pillow present decodes real
+    images; otherwise ``fake=True`` must be passed and a deterministic
+    fake (payload-hash-seeded 8x8 RGB) stands in so the distributed
+    plumbing (schema, batching, actor signature) is testable."""
+
+    def __init__(self, *, fake: bool = False, thumb: int = 8):
+        self.pillow = _try_import_pillow()
+        self.fake = fake
+        self.thumb = thumb
+        if self.pillow is None and not fake:
+            raise NotImplementedError(
+                "image decode requires Pillow, which is not installed; "
+                "pass fake=True for the deterministic stub"
+            )
+
+    def _decode_fake(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (self.thumb, self.thumb, 3), dtype=np.uint8)
+        return arr, self.thumb, self.thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        pixels, widths, heights = [], [], []
+        for p in payloads:
+            arr, w, h = self._decode_fake(p)  # real path would branch on self.pillow
+            pixels.append(arr.reshape(-1))
+            widths.append(w)
+            heights.append(h)
+        flat = np.concatenate(pixels) if pixels else np.array([], np.uint8)
+        n = len(payloads)
+        size = self.thumb * self.thumb * 3
+        offsets = pa.array(np.arange(0, (n + 1) * size, size, dtype=np.int32))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "pixels": pa.ListArray.from_arrays(offsets, pa.array(flat, pa.uint8())),
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame-sample stub: emits ``n_frames`` payload-hash-derived
+    frame ids per row (real impl would seek the container).  flat_map
+    shape: one input row → n output rows."""
+
+    def __init__(self, n_frames: int = 3):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_frame, o_hash = [], [], []
+        for mid, p in zip(ids, payloads):
+            h = hashlib.blake2b(p, digest_size=8).hexdigest()
+            for f in range(self.n_frames):
+                o_id.append(mid)
+                o_frame.append(f)
+                o_hash.append(f"{h}:{f}")
+        return pa.table({"media_id": pa.array(o_id, pa.string()),
+                         "frame_idx": pa.array(o_frame, pa.int32()),
+                         "frame_key": pa.array(o_hash, pa.string())})
+
+
+def decode_images(ds, *, fake: bool = False, batch_size: int = 64, concurrency=None):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
+    """Small batch_size on purpose: binary payloads are the widest rows
+    in any corpus; batch × concurrency must fit worker heap."""
+    return ds.map_batches(ImageDecoder, fn_constructor_kwargs={"fake": fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds, *, n_frames: int = 3, batch_size: int = 64, concurrency=None):
+    if concurrency is None:
+        from ..state.resources import pool_concurrency
+
+        concurrency = pool_concurrency()
+    return ds.map_batches(FrameSampler, fn_constructor_kwargs={"n_frames": n_frames},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brief-mandated operator family (no reference analog).  Baseline:
+brute-force cosine top-k — one numpy matmul per batch against a
+BROADCAST query matrix (``ray.put`` once), per-batch local top-k, then
+a tiny global merge (k × num_blocks rows, not the corpus).  Scale path:
+IVF — a seeded k-means-lite coarse quantizer fit on a sample, batches
+routed to centroids, search restricted to the ``nprobe`` closest
+centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _norm(v: np.ndarray) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
+                     id_column: str = "vec_id", k: int = 10):
+    """→ Dataset (query_idx, id, cosine) of the global top-k per query.
+
+    ``query``: (q, dim) or (dim,).  Per-batch partial top-k keeps the
+    shuffle tiny; final exact merge via sort+limit per query.
+    """
+    import ray
+
+    Q = _norm(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+    q_ref = ray.put(Q)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        vecs = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        ids = batch.column(id_column)
+        if len(vecs) == 0:
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             id_column: ids.slice(0, 0),
+                             "cosine": pa.array([], pa.float64())})
+        sims = _norm(vecs) @ Qm.T  # (n, q)
+        out_q, out_i, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(top.tolist())
+            out_s.extend(sims[top, qi].tolist())
+        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
+                         id_column: ids.take(pa.array(out_i, pa.int64())),
+                         "cosine": pa.array(np.asarray(out_s, np.float64), pa.float64())})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer-partitioned) variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def fit_centroids(ds, *, vec_column: str = "embedding", n_centroids: int = 16,
+                  sample_rows: int = 2048, n_iter: int = 10, seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd iterations on a driver-side sample (numpy; the
+    sample is small by construction — this is the index-build step)."""
+    sample = ds.limit(sample_rows).to_pandas()[vec_column]
+    X = _norm(np.stack(sample.to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = _norm(members.mean(axis=0))
+    return C
+
+
+def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, *,
+             vec_column: str = "embedding", id_column: str = "vec_id",
+             k: int = 10, nprobe: int = 4):
+    """IVF search: filter each batch to rows whose nearest centroid is
+    among the query's ``nprobe`` closest, then brute-force those.
+    Recall < 1.0 by design; nprobe trades recall for scan fraction."""
+    import ray
+
+    Q = _norm(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+    C = _norm(np.asarray(centroids, dtype=np.float32))
+    probe = set(np.argsort(-(Q @ C.T), axis=1)[:, :nprobe].reshape(-1).tolist())
+    c_ref = ray.put((C, probe))
+    q_ref = ray.put(Q)
+
+    def _route_and_score(batch: pa.Table) -> pa.Table:
+        Cm, probeset = ray.get(c_ref)
+        Qm = ray.get(q_ref)
+        vecs = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        ids = batch.column(id_column)
+        empty = pa.table({"query_idx": pa.array([], pa.int32()),
+                          id_column: ids.slice(0, 0),
+                          "cosine": pa.array([], pa.float64())})
+        if len(vecs) == 0:
+            return empty
+        V = _norm(vecs)
+        nearest = np.argmax(V @ Cm.T, axis=1)
+        mask = np.isin(nearest, list(probeset))
+        if not mask.any():
+            return empty
+        V = V[mask]
+        ids = ids.filter(pa.array(mask))
+        sims = V @ Qm.T
+        out_q, out_i, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(top.tolist())
+            out_s.extend(sims[top, qi].tolist())
+        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
+                         id_column: ids.take(pa.array(out_i, pa.int64())),
+                         "cosine": pa.array(np.asarray(out_s, np.float64), pa.float64())})
+
+    partial = ds.map_batches(_route_and_score, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_idx").map_groups(_merge, batch_format="pandas")

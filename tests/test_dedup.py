@@ -1,0 +1,108 @@
+"""Dedup operator tests on crafted collision sets (SURVEY.md §5.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from snorkel_ray.stages.dedup import (
+    _MinHashParams,
+    _shingle_hashes,
+    ngram_jaccard,
+    simhash64,
+)
+
+
+def test_minhash_estimates_jaccard():
+    params = _MinHashParams(256, seed=17)
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    sa = params.signature(_shingle_hashes(a, 3))
+    sb = params.signature(_shingle_hashes(b, 3))
+    est = float((sa == sb).mean())
+    true = ngram_jaccard(a, b, 3)
+    assert abs(est - true) < 0.15
+    # identical docs agree exactly
+    assert (params.signature(_shingle_hashes(a, 3)) == sa).all()
+
+
+def test_simhash_locality():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words about astronomy telescopes and galaxies nebulae"
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert simhash64(a) == ha  # deterministic
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("a b c", "a b c") == 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+@pytest.fixture()
+def dup_docs(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "on the quiet town and markets open slowly near the river")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup of 1
+        {"doc_id": 3, "text": base.replace("rain", "snow")},  # near-dup of 1
+        {"doc_id": 4, "text": "unrelated text about telescopes galaxies and "
+                              "astronomy research papers published yearly"},
+        {"doc_id": 5, "text": base},  # another exact dup
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(dup_docs):
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    kept = exact_dedup(dup_docs, "text", keep_key="doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4]  # min doc_id survives per text
+
+
+def test_minhash_dedup_clusters(dup_docs):
+    from snorkel_ray.stages.dedup import minhash_dedup
+
+    out = minhash_dedup(dup_docs, "text", "doc_id", num_perm=64, bands=16,
+                        threshold=0.5).to_pandas()
+    m = dict(zip(out["doc_id"], out["cluster"]))
+    assert len(m) == 5  # every doc assigned
+    assert m[1] == m[2] == m[5]  # exact dups cluster
+    assert m[4] != m[1]  # unrelated stays apart
+    assert m[3] == m[1]  # near-dup joins at threshold 0.5
+
+
+def test_simhash_near_dup_pairs(dup_docs):
+    from snorkel_ray.stages.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(dup_docs, "text", "doc_id", max_hamming=6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    assert not any(4 in p for p in got)
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal(32).astype(np.float32)
+    v2 = v1 + rng.standard_normal(32).astype(np.float32) * 0.01  # near-dup
+    v3 = rng.standard_normal(32).astype(np.float32)
+    ds = rd.from_items([
+        {"vec_id": 1, "embedding": v1.tolist()},
+        {"vec_id": 2, "embedding": v2.tolist()},
+        {"vec_id": 3, "embedding": v3.tolist()},
+    ])
+    pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                     threshold=0.95).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)

@@ -1,0 +1,108 @@
+"""similarity / text-analysis / multimodal / exprs operator tests."""
+
+import numpy as np
+import pyarrow as pa
+
+from snorkel_ray.functions import exprs
+from snorkel_ray.stages.text_analysis import (
+    count_tokens,
+    detect_lang,
+    fingerprint64,
+    quality_features,
+)
+
+
+def test_detect_lang():
+    assert detect_lang("the cat and the dog are in the house") == "en"
+    assert detect_lang("der Hund und die Katze sind in dem Haus") == "de"
+    assert detect_lang("el perro y el gato en la casa") == "es"
+    assert detect_lang("中文文本测试") == "zh"
+    assert detect_lang("") == "und"
+    assert detect_lang("xyzzy qwerty plugh") == "und"
+
+
+def test_quality_and_tokens():
+    s, p, m, n, score = quality_features("The cat sat on the mat with a hat.")
+    assert n == 9 and s > 0.3 and score > 0.5
+    assert quality_features("")[4] == 0.0
+    assert count_tokens("a b c") == (3, 3)
+    assert count_tokens("a, b!") == (2, 4)  # punctuation splits bpe-ish
+    assert fingerprint64("x y z") == fingerprint64("x y z") != fingerprint64("x y w")
+
+
+def test_exprs():
+    arr = pa.array(["  A  B ", "c-d"])
+    assert exprs.casefold(arr).to_pylist() == ["  a  b ", "c-d"]
+    assert exprs.collapse_ws(arr).to_pylist() == [" A B ", "c-d"]
+    assert exprs.slugify(pa.array(["Hello, World!"])).to_pylist() == ["hello-world"]
+    assert exprs.ptb_unescape(pa.array(["-LRB-x-RRB-"])).to_pylist() == ["(x)"]
+    assert exprs.json_extract(pa.array(['{"k": 3}', "{}", "bad"]), "k").to_pylist() == \
+        ["3", "", ""]
+    assert exprs.json_extract_double(pa.array(['{"k": 3.5}']), "k").to_pylist() == [3.5]
+    assert exprs.tokens_join(pa.array([["a", "b"]], pa.list_(pa.string()))).to_pylist() \
+        == ["a b"]
+    assert np.allclose(exprs.safe_div([1, 1], [2, 0]), [0.5, 0.0])
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)])
+    out = brute_force_topk(ds, vecs[7], k=5).to_pandas()
+    assert len(out) == 5
+    assert out.iloc[0]["vec_id"] == 7  # self is nearest
+    assert abs(out.iloc[0]["cosine"] - 1.0) < 1e-5
+    # exact agreement with numpy
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ \
+        (vecs[7] / np.linalg.norm(vecs[7]))
+    want = set(np.argsort(-sims)[:5].tolist())
+    assert set(out["vec_id"]) == want
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import fit_centroids, ivf_topk
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)])
+    cents = fit_centroids(ds, n_centroids=8, sample_rows=200)
+    out = ivf_topk(ds, vecs[3], cents, k=5, nprobe=8).to_pandas()  # nprobe=all -> exact
+    assert out.iloc[0]["vec_id"] == 3
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.multimodal import decode_images, sample_frames
+
+    rows = [{"media_id": f"m{i}", "mime": "image/fake",
+             "payload": bytes([i] * 32), "meta_json": "{}"} for i in range(6)]
+    ds = rd.from_items(rows)
+    dec = decode_images(ds, fake=True, concurrency=(1, 2)).to_pandas()
+    assert len(dec) == 6
+    assert (dec["width"] == 8).all()
+    assert all(len(p) == 8 * 8 * 3 for p in dec["pixels"])
+    # deterministic: same payload -> same pixels
+    dec2 = decode_images(ds, fake=True, concurrency=(1, 2)).to_pandas()
+    assert (np.stack(dec.sort_values("media_id")["pixels"].to_numpy())
+            == np.stack(dec2.sort_values("media_id")["pixels"].to_numpy())).all()
+
+    frames = sample_frames(ds, n_frames=3, concurrency=(1, 2)).to_pandas()
+    assert len(frames) == 18
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_image_decoder_requires_fake_without_pillow():
+    import pytest
+
+    from snorkel_ray.stages.multimodal import ImageDecoder, _try_import_pillow
+
+    if _try_import_pillow() is None:
+        with pytest.raises(NotImplementedError):
+            ImageDecoder(fake=False)

@@ -1,0 +1,113 @@
+"""E2E golden triples, resume, mentions/linking/canonicalization — the
+Ray-session-backed tests (SURVEY.md §5 items 3/4)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from snorkel_ray.pipelines.kg import run_kg_pipeline
+from snorkel_ray.stages.materialize import evaluate_triples
+from snorkel_ray.synth import alias_table, build_kb, expected_triples, pages_dataset
+
+N_PAGES = 300
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def kb():
+    return build_kb(SEED)
+
+
+def test_e2e_golden_triples(ray_session, kb):
+    triples, info = run_kg_pipeline(pages_dataset(N_PAGES, SEED), alias_table(kb),
+                                    kb["facts"])
+    got = pa.Table.from_pandas(triples.to_pandas())
+    res = evaluate_triples(got, expected_triples(N_PAGES, SEED))
+    assert res["precision"] >= 0.95, res
+    assert res["recall"] >= 0.95, res
+
+
+def test_resume_skips_and_is_identical(ray_session, kb, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    args = (pages_dataset(150, SEED), alias_table(kb), kb["facts"])
+    t1, i1 = run_kg_pipeline(*args, checkpoint_dir=ckpt)
+    df1 = t1.to_pandas().sort_values(["subj_qid", "pred", "obj_qid"]).reset_index(drop=True)
+    assert all(not s["skipped"] for s in i1["stages"])
+
+    # simulate a killed run resuming: manifests exist -> all stages skip
+    t2, i2 = run_kg_pipeline(*args, checkpoint_dir=ckpt)
+    df2 = t2.to_pandas().sort_values(["subj_qid", "pred", "obj_qid"]).reset_index(drop=True)
+    assert all(s["skipped"] for s in i2["stages"]), i2["stages"]
+    assert df1.equals(df2)
+
+    # partial checkpoint (kill after stage 1): later stages recompute,
+    # stage 1 skips, output identical
+    shutil.rmtree(os.path.join(ckpt, "scored_linked"))
+    shutil.rmtree(os.path.join(ckpt, "triples"))
+    t3, i3 = run_kg_pipeline(*args, checkpoint_dir=ckpt)
+    df3 = t3.to_pandas().sort_values(["subj_qid", "pred", "obj_qid"]).reset_index(drop=True)
+    flags = {s["stage"]: s["skipped"] for s in i3["stages"]}
+    assert flags["labeled"] is True and flags["triples"] is False
+    assert df1.equals(df3)
+
+    # param change invalidates downstream stage fingerprints
+    t4, i4 = run_kg_pipeline(*args, checkpoint_dir=ckpt, threshold=0.6)
+    flags = {s["stage"]: s["skipped"] for s in i4["stages"]}
+    assert flags["labeled"] is True and flags["scored_linked"] is False
+
+
+def test_mentions_and_linking(ray_session, kb):
+    import ray
+
+    from snorkel_ray.stages.extract import extract_docs
+    from snorkel_ray.stages.linking import link_mentions
+    from snorkel_ray.stages.mentions import detect_mentions
+    from snorkel_ray.stages.sentences import split_docs_to_sentences
+
+    pages = pages_dataset(60, SEED)
+    alias_ref = ray.put(alias_table(kb))
+    sents = split_docs_to_sentences(extract_docs(pages))
+    mentions = detect_mentions(sents, alias_ref)
+    linked = link_mentions(mentions, alias_ref)
+    df = linked.to_pandas()
+    assert len(df) > 50
+    # every dictionary mention must link (dict-driven detection)
+    assert (df["qid"] != "").all()
+    # spans are offset-exact against their sentence text
+    s_df = sents.to_pandas().set_index(["url", "sent_idx"])
+    for _, r in df.head(100).iterrows():
+        sent_text = s_df.loc[(r["url"], r["sent_idx"])]["text"]
+        assert sent_text[r["char_start"]:r["char_end"]] == r["text"]
+
+
+def test_linker_collision_tiebreak(ray_session, kb):
+    from snorkel_ray.stages.linking import build_link_index
+
+    idx = build_link_index(alias_table(kb))
+    # "Springfield" collides (place owns it, org has prior 0.2)
+    qid, prior = idx["springfield"]
+    place_qid = next(e["qid"] for e in kb["entities"]
+                     if e["type"] == "place" and e["name"] == "Springfield")
+    assert qid == place_qid and prior == 1.0
+
+
+def test_canonicalize_connected_components(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.canonicalize import canonical_entity_map
+
+    rows = [
+        {"entity_key": "acme corp", "qid": "Q1"},
+        {"entity_key": "acme corporation", "qid": "Q1"},
+        {"entity_key": "acme", "qid": "Q1"},
+        {"entity_key": "globex", "qid": "Q2"},
+        {"entity_key": "unlinked thing", "qid": ""},
+    ]
+    ds = rd.from_items(rows)
+    out = canonical_entity_map(ds).to_pandas().set_index("entity_key")["canonical_id"]
+    assert out["acme corp"] == out["acme corporation"] == out["acme"] == "Q1"
+    assert out["globex"] == "Q2"
+    assert "unlinked thing" not in out.index  # unlinked stay out of the map

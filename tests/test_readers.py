@@ -1,0 +1,61 @@
+"""Source adapter tests (SURVEY.md S2–S7)."""
+
+import os
+
+
+def test_read_tsv_docs(ray_session, tmp_path):
+    from snorkel_ray.sources.readers import read_tsv_docs
+
+    p = tmp_path / "docs.tsv"
+    p.write_text("doc1\thello world\ndoc2\tsecond text\n\ndoc3\tthird\n")
+    df = read_tsv_docs(str(p)).to_pandas().sort_values("url")
+    assert df["url"].tolist() == ["doc1", "doc2", "doc3"]
+    assert df["text"].tolist() == ["hello world", "second text", "third"]
+    df2 = read_tsv_docs(str(p), max_docs=2).to_pandas()
+    assert len(df2) == 2
+
+
+def test_read_text_docs(ray_session, tmp_path):
+    from snorkel_ray.sources.readers import read_text_docs
+
+    (tmp_path / "a.txt").write_text("alpha content")
+    (tmp_path / "b.txt").write_text("beta content")
+    df = read_text_docs(str(tmp_path)).to_pandas().sort_values("url")
+    assert df["url"].tolist() == ["a", "b"]
+    assert df["text"].tolist() == ["alpha content", "beta content"]
+
+
+def test_read_csv_paths_docs(ray_session, tmp_path):
+    from snorkel_ray.sources.readers import read_csv_paths_docs
+
+    f1 = tmp_path / "x.txt"
+    f1.write_text("x body")
+    f2 = tmp_path / "y.txt"
+    f2.write_text("y body")
+    csv = tmp_path / "paths.csv"
+    csv.write_text(f"path\n{f1}\n{f2}\n")
+    df = read_csv_paths_docs(str(csv)).to_pandas().sort_values("url")
+    assert df["text"].tolist() == ["x body", "y body"]
+
+
+def test_read_html_docs(ray_session, tmp_path):
+    from snorkel_ray.sources.readers import read_html_docs
+
+    (tmp_path / "page.html").write_text(
+        "<html><body><p>First para.</p><p>Second.</p></body></html>")
+    df = read_html_docs(str(tmp_path)).to_pandas()
+    assert df["text"].tolist() == ["First para.\nSecond."]
+
+
+def test_read_xml_multidocs(ray_session, tmp_path):
+    from snorkel_ray.sources.readers import read_xml_multidocs
+
+    (tmp_path / "corpus.xml").write_text(
+        """<root>
+             <document><id>d1</id><text>first doc body</text></document>
+             <document><id>d2</id><text>second <b>doc</b> body</text></document>
+           </root>""")
+    df = read_xml_multidocs(str(tmp_path)).to_pandas().sort_values("url")
+    assert df["url"].tolist() == ["d1", "d2"]
+    assert df["text"].tolist()[0] == "first doc body"
+    assert "second" in df["text"].tolist()[1] and "body" in df["text"].tolist()[1]
