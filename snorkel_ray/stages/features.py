@@ -1,0 +1,99 @@
+"""Featurizer + shared feature vocabulary (SURVEY.md §2.10 featurizers, T3).
+
+Reference: ``FeatureAnnotator(f=get_span_feats)`` generates string
+feature names per candidate (``snorkel/features/`` treedlib/ddlib
+paths) and upserts them into a global ``FeatureKey`` DB table under a
+lock — a shared mutable index.  Recast as the two-pass pattern
+(SURVEY.md T3): pass 1 flat-maps feature names and builds the vocab
+with a groupby-count (keeping the top ``max_vocab``), pass 2 broadcasts
+the small name→id dict and emits per-candidate sparse id lists.  No
+lock, no shared mutable state.
+
+The default feature generator is a ddlib-flavored light set: between
+unigrams/bigrams, span word shapes, gap bucket, left/right window
+unigrams.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+FeatureFn = Callable[[dict], Iterator[str]]
+
+
+def default_candidate_features(row: dict) -> Iterator[str]:
+    between = row["between_text"].split()
+    for w in between:
+        yield f"BETW_{w}"
+    for a, b in zip(between, between[1:]):
+        yield f"BETW_BG_{a}_{b}"
+    yield f"GAP_{min(int(row['gap']), 10)}"
+    subj = row["subj_text"]
+    obj = row["obj_text"]
+    yield f"SUBJ_SHAPE_{'T' if subj[:1].isupper() else 'l'}{len(subj.split())}"
+    yield f"OBJ_SHAPE_{'T' if obj[:1].isupper() else 'l'}{len(obj.split())}"
+    pre = row["pre_text"].split()
+    for w in pre[-2:]:
+        yield f"LEFT_{w}"
+    if row.get("pred"):
+        yield f"PRED_{row['pred']}"
+
+
+_FEAT_COLS = ("between_text", "gap", "subj_text", "obj_text", "pre_text", "pred")
+
+
+def build_feature_vocab(candidates, *, feature_fn: FeatureFn = default_candidate_features,
+                        max_vocab: int = 100_000, min_count: int = 1) -> dict[str, int]:
+    """Pass 1: distributed name counting → driver-side id assignment
+    (ids ordered by (-count, name): deterministic)."""
+    from ray.data.aggregate import Sum
+
+    def _names(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        rows = batch.select(list(_FEAT_COLS)).to_pylist()
+        for row in rows:
+            for name in feature_fn(row):
+                counts[name] = counts.get(name, 0) + 1
+        ks = list(counts)
+        return pa.table({"name": pa.array(ks, pa.string()),
+                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = (candidates.map_batches(_names, batch_format="pyarrow", batch_size=8192)
+           .groupby("name").aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    df = df[df["n"] >= min_count].sort_values(["n", "name"], ascending=[False, True])
+    df = df.head(max_vocab)
+    return {name: i for i, name in enumerate(df["name"])}
+
+
+def featurize(candidates, vocab: dict[str, int], *,
+              feature_fn: FeatureFn = default_candidate_features,
+              batch_size: int = 8192):
+    """Pass 2: broadcast vocab → per-candidate sorted feature-id lists
+    (the reference's sparse Feature EAV rows become one list<int32>
+    column)."""
+    import ray
+
+    v_ref = ray.put(vocab)
+
+    class _Featurize:
+        def __init__(self):
+            self.vocab = ray.get(v_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch.select(list(_FEAT_COLS)).to_pylist()
+            feats = []
+            for row in rows:
+                ids = {self.vocab[n] for n in feature_fn(row) if n in self.vocab}
+                feats.append(sorted(ids))
+            return batch.append_column(
+                "feature_ids", pa.array(feats, pa.list_(pa.int32())))
+
+    from ..state.resources import pool_concurrency
+
+    return candidates.map_batches(_Featurize, batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=pool_concurrency())

@@ -1,0 +1,88 @@
+"""LF dependency structure learning (SURVEY.md A6).
+
+Reference: ``DependencySelector.select(L, threshold)``
+(``snorkel/learning/structure/gen_learning.py`` ≈L1–300) learns LF-LF
+dependency edges via pseudolikelihood + L1 over the full matrix.
+Recast per SURVEY.md: only second-moment statistics are needed — the
+K×K agreement/co-fire matrices stream as per-batch numpy partials
+through one tiny aggregate, and the selection rule runs on the driver.
+
+Selection rule (deterministic): for each LF pair (j, k), excess
+agreement beyond independence
+``dep_jk = |P(λ_j = λ_k ≠ 0) − P_indep|`` normalized by co-fire rate;
+pairs above ``threshold`` are reported as dependencies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _moments_batch(batch: pa.Table) -> pa.Table:
+    L = batch.column("L")
+    flat = np.asarray(L.combine_chunks().flatten() if isinstance(L, pa.ChunkedArray)
+                      else L.flatten(), dtype=np.int8)
+    n = batch.num_rows
+    K = flat.size // max(n, 1) if n else 0
+    M = flat.reshape(n, K).astype(np.float64) if n else np.zeros((0, 0))
+    nz = (M != 0).astype(np.float64)
+    agree = ((M[:, :, None] == M[:, None, :]) &
+             (M[:, :, None] != 0)).sum(axis=0).astype(np.float64) if n else np.zeros((K, K))
+    cofire = nz.T @ nz
+    fire = nz.sum(axis=0)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "K": pa.array([K], pa.int32()),
+        "fire": pa.array([fire.tolist()], pa.list_(pa.float64())),
+        "agree": pa.array([agree.reshape(-1).tolist()], pa.list_(pa.float64())),
+        "cofire": pa.array([cofire.reshape(-1).tolist()], pa.list_(pa.float64())),
+    })
+
+
+def lf_moments(labeled) -> dict:
+    """→ {"n", "fire"[K], "agree"[K,K], "cofire"[K,K]} — tree-reduced
+    partials; payload is O(K²) floats regardless of corpus size."""
+    parts = labeled.map_batches(_moments_batch, batch_format="pyarrow",
+                                batch_size=16384).to_pandas()
+    parts = parts[parts["K"] > 0]
+    if len(parts) == 0:
+        return {"n": 0, "fire": np.zeros(0), "agree": np.zeros((0, 0)),
+                "cofire": np.zeros((0, 0))}
+    K = int(parts["K"].iloc[0])
+    n = int(parts["n"].sum())
+    fire = np.sum([np.asarray(x) for x in parts["fire"]], axis=0)
+    agree = np.sum([np.asarray(x).reshape(K, K) for x in parts["agree"]], axis=0)
+    cofire = np.sum([np.asarray(x).reshape(K, K) for x in parts["cofire"]], axis=0)
+    return {"n": n, "fire": fire, "agree": agree, "cofire": cofire}
+
+
+def select_dependencies(labeled, *, threshold: float = 0.2,
+                        alpha=None) -> list[tuple[int, int, float]]:
+    """→ [(j, k, score)] for j < k whose observed agreement exceeds the
+    conditionally-independent expectation.
+
+    The null matters: two ACCURATE independent LFs agree well above
+    1/2 (both track y), so raw agreement over-reports dependencies.
+    With per-LF accuracies ``alpha`` (e.g. from ``fit_label_model``)
+    the null is ``a_j·a_k + (1−a_j)(1−a_k)`` — agreement explained by
+    the shared latent label; without, 0.5 is used (adequate only for
+    weak LFs). Driver-side over A6 moments."""
+    m = lf_moments(labeled)
+    n, fire, agree, cofire = m["n"], m["fire"], m["agree"], m["cofire"]
+    K = len(fire)
+    if n == 0 or K == 0:
+        return []
+    a = np.full(K, 0.5) if alpha is None else np.asarray(alpha, dtype=np.float64)
+    out = []
+    for j in range(K):
+        for k in range(j + 1, K):
+            cf = cofire[j, k]
+            if cf < max(5.0, 0.001 * n):
+                continue
+            p_agree = agree[j, k] / cf
+            null = a[j] * a[k] + (1 - a[j]) * (1 - a[k])
+            score = abs(p_agree - null) * (cf / n) ** 0.5 * 2
+            if score > threshold:
+                out.append((j, k, round(float(score), 4)))
+    return sorted(out, key=lambda t: -t[2])
