@@ -326,6 +326,45 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float32)
 
 
+def q_word_count_salted(sf_dir: str):
+    """Salted two-phase word-frequency count (skew op): explode words,
+    hot keys spread over salt buckets, top 20 by count."""
+    from snorkel_ray.stages.skew import salted_count
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        words = []
+        for t in b.column("text").to_pylist():
+            words.extend(t.split(" "))
+        return pa.table({"word": pa.array(words, pa.string())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    out = salted_count(exploded, "word", count_alias="n_occurrences")
+    return out.sort(["n_occurrences", "word"], descending=[True, False]).limit(20)
+
+
+def q_sentence_split_counts(sf_dir: str):
+    """Sentence splitter over documents (plain text, no terminators →
+    exactly one sentence per doc; the oracle proves no over-split)."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.sentences import split_sentences
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _count(b: pa.Table) -> pa.Table:
+        n = [len(split_sentences(t)) for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n_sentences": pa.array(n, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(_count, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n_sentences", alias_name="total_sentences"))
+            .sort("lang"))
+
+
 def q_embedding_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (broadcast
     query, per-batch partial top-k, global merge)."""
@@ -406,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
         "lf_keyword_coverage": q_lf_keyword_coverage,
+        "word_count_salted": q_word_count_salted,
+        "sentence_split_counts": q_sentence_split_counts,
         "embedding_topk": q_embedding_topk,
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -479,6 +520,13 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN list_contains(string_split(text,' '), 'stream')
                          THEN 1 ELSE 0 END) FROM documents
             ) ORDER BY lf_name""",
+        "word_count_salted": """
+            SELECT w AS word, count(*) AS n_occurrences
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY n_occurrences DESC, word LIMIT 20""",
+        "sentence_split_counts": """
+            SELECT lang, count(*) AS total_sentences
+            FROM documents GROUP BY lang ORDER BY lang""",
         "embedding_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -43,6 +43,7 @@ def run_kg_pipeline(
     concurrency=None,
     cooccur_pred: str | None = None,
     cooccur_gap: int = 3,
+    fit_sample_rows: int | None = None,
 ):
     """→ (triples Dataset, info dict). Ray must already be initialised
     by the caller (driver contract: this function never calls
@@ -78,13 +79,20 @@ def run_kg_pipeline(
             concurrency=concurrency,
         ),
     )
-    if checkpoint_dir is None:
-        # two consumers (stats + scoring) — pin the small/medium test
-        # dataset rather than recomputing the whole chain twice; at
-        # scale the parquet checkpoint IS the materialization.
-        labeled = labeled.materialize()
-
-    counts = pattern_counts(labeled)
+    if fit_sample_rows is not None:
+        # one-pass mode: fit the label model on a bounded sample prefix
+        # (exact EM over ≤3^K patterns converges identically on any
+        # decent sample), then the single full streaming pass scores —
+        # no mid-pipeline materialization, no second pass. This is the
+        # 100 TB shape; the default 2-pass keeps exact full-corpus fit.
+        counts = pattern_counts(labeled.limit(fit_sample_rows))
+    else:
+        if checkpoint_dir is None:
+            # two consumers (stats + scoring) — pin the small/medium
+            # test dataset rather than recomputing the chain twice; at
+            # scale the parquet checkpoint IS the materialization.
+            labeled = labeled.materialize()
+        counts = pattern_counts(labeled)
     model = fit_label_model(counts)
 
     scored = score_marginals(labeled, model)

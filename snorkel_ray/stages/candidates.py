@@ -169,9 +169,37 @@ class CandidateExtractor:
         )
 
 
+# Per-worker-process instance cache for the task path: the alias index
+# builds once per Ray worker process (not per task/batch) — stateless
+# tasks with amortized state, fully elastic across the session's CPUs.
+# An actor pool caps the stage (and everything fused into it — the
+# whole extract→sentences→candidates chain) at the pool size; for this
+# light state (a dict of a few hundred aliases) tasks are strictly
+# better. Use `as_tasks=False` only when the state is genuinely heavy.
+_EXTRACTOR_CACHE: dict = {}
+
+
+def _cache_key(ref) -> str:
+    return ref.hex() if hasattr(ref, "hex") else str(id(ref))
+
+
 def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
                        cooccur_pred: str | None = None, cooccur_gap: int = 3,
-                       concurrency=None, batch_size: int = 1024):
+                       concurrency=None, batch_size: int | None = None,
+                       as_tasks: bool = True):
+    kwargs = {"max_gap": max_gap, "cooccur_pred": cooccur_pred,
+              "cooccur_gap": cooccur_gap}
+    if as_tasks:
+        key = (_cache_key(alias_ref), max_gap, cooccur_pred, cooccur_gap)
+
+        def _extract(batch: pa.Table) -> pa.Table:
+            inst = _EXTRACTOR_CACHE.get(key)
+            if inst is None:
+                inst = _EXTRACTOR_CACHE[key] = CandidateExtractor(alias_ref, **kwargs)
+            return inst(batch)
+
+        return sentences.map_batches(_extract, batch_format="pyarrow",
+                                     batch_size=batch_size)
     if concurrency is None:
         from ..state.resources import pool_concurrency
 
@@ -179,8 +207,7 @@ def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
     return sentences.map_batches(
         CandidateExtractor,
         fn_constructor_args=(alias_ref,),
-        fn_constructor_kwargs={"max_gap": max_gap, "cooccur_pred": cooccur_pred,
-                               "cooccur_gap": cooccur_gap},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -134,12 +134,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_docs(pages, *, batch_size: int = 256):
+def extract_docs(pages, *, batch_size: int | None = None):
     """pages Dataset → docs Dataset.
 
-    ``batch_size`` is deliberately small: html payloads are the widest
-    rows in the system (giant-page skew), and a small batch keeps
-    task heap ≈ batch_size × max_html bounded while the streaming
-    executor pipelines blocks.
+    ``batch_size=None`` (default) processes whole blocks: forcing a
+    fixed batch size makes Ray slice and re-concatenate blocks at every
+    chained stage (copies of the html column, the widest data in the
+    system).  Memory per task is bounded by the BLOCK size — tune
+    ``DataContext.target_max_block_size`` / reader block count for
+    giant-page corpora, not this parameter.
     """
     return pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)

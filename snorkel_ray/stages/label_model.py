@@ -55,19 +55,21 @@ def _pattern_counts_batch(batch: pa.Table) -> pa.Table:
 
 def pattern_counts(labeled) -> "pa.Table":
     """labeled Dataset (with L column) → tiny driver-side table of
-    (pattern bytes, count). Pre-aggregated per batch, then one small
-    groupby-sum (SURVEY.md A2/A3 partial+final pattern)."""
-    from ray.data.aggregate import Sum
-
+    (pattern bytes, count). Pre-aggregated per batch; the per-batch
+    partials are ≤ 3^K × num_blocks rows, so the FINAL merge happens on
+    the driver (pandas groupby) instead of a Dataset all-to-all — an
+    AllToAll appended to the live map chain costs seconds of fixed
+    shuffle setup for kilobytes of data (SURVEY.md A2/A3 partial+final;
+    the reference's matrix stats are driver-side too)."""
     partial = labeled.map_batches(_pattern_counts_batch, batch_format="pyarrow",
                                   batch_size=16384)
-    agg = partial.groupby("pattern").aggregate(Sum("n", alias_name="n"))
-    df = agg.to_pandas()  # ≤ 3^K rows — safe to materialize
+    df = partial.to_pandas()  # ≤ 3^K × blocks rows — tiny
     if len(df) == 0 or "pattern" not in df.columns:  # empty corpus
         return pa.table({"pattern": pa.array([], pa.binary()),
                          "n": pa.array([], pa.int64())})
-    return pa.table({"pattern": pa.array(df["pattern"].tolist(), pa.binary()),
-                     "n": pa.array(df["n"].to_numpy(), pa.int64())})
+    agg = df.groupby("pattern", sort=True)["n"].sum().reset_index()
+    return pa.table({"pattern": pa.array(agg["pattern"].tolist(), pa.binary()),
+                     "n": pa.array(agg["n"].to_numpy(), pa.int64())})
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +160,7 @@ def posterior(L: np.ndarray, theta: np.ndarray, pi: float) -> np.ndarray:
     return np.exp(logp_pos - m) / (np.exp(logp_pos - m) + np.exp(logp_neg - m))
 
 
-def score_marginals(labeled, model: dict, *, batch_size: int = 16384):
+def score_marginals(labeled, model: dict, *, batch_size: int | None = None):
     """Append float32 ``p`` to every labeled candidate row (stateless
     map; weights ride in the serialized closure once)."""
     theta = np.asarray(model["theta"], dtype=np.float64)
@@ -208,16 +210,13 @@ def _lf_stats_batch(batch: pa.Table) -> pa.Table:
 
 def lf_stats(labeled, lf_names: list[str]) -> "pa.Table":
     """Per-LF coverage/overlap/conflict via partial per-batch count
-    vectors + one tiny groupby-sum (reference ``lf_stats`` semantics)."""
-    from ray.data.aggregate import Sum
-
+    vectors, K-row partials merged on the driver (reference
+    ``lf_stats`` semantics; same no-AllToAll rationale as
+    ``pattern_counts``)."""
     partial = labeled.map_batches(_lf_stats_batch, batch_format="pyarrow",
                                   batch_size=16384)
-    agg = partial.groupby("lf_idx").aggregate(
-        Sum("n_rows", alias_name="n_rows"), Sum("n_labeled", alias_name="n_labeled"),
-        Sum("n_overlap", alias_name="n_overlap"), Sum("n_conflict", alias_name="n_conflict"),
-    )
-    df = agg.to_pandas().sort_values("lf_idx")
+    df = (partial.to_pandas().groupby("lf_idx", sort=True)
+          [["n_rows", "n_labeled", "n_overlap", "n_conflict"]].sum().reset_index())
     n = df["n_rows"].to_numpy().astype(np.float64)
     return pa.table(
         {

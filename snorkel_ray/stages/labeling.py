@@ -177,7 +177,25 @@ class LFApplier:
         return batch.append_column("L", L)
 
 
-def apply_lfs(candidates, kb_ref=None, *, batch_size: int = 4096, concurrency=None):
+_APPLIER_CACHE: dict = {}
+
+
+def apply_lfs(candidates, kb_ref=None, *, batch_size: int | None = None, concurrency=None,
+              as_tasks: bool = True):
+    """LF application. Default: elastic tasks with a per-worker-process
+    LFApplier cache (light state — compiled LF set + broadcast KB dict);
+    pass ``as_tasks=False`` for an explicit actor pool."""
+    if as_tasks:
+        key = kb_ref.hex() if hasattr(kb_ref, "hex") else str(id(kb_ref))
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            inst = _APPLIER_CACHE.get(key)
+            if inst is None:
+                inst = _APPLIER_CACHE[key] = LFApplier(kb_ref)
+            return inst(batch)
+
+        return candidates.map_batches(_apply, batch_format="pyarrow",
+                                      batch_size=batch_size)
     if concurrency is None:
         from ..state.resources import pool_concurrency
 

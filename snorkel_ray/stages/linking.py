@@ -52,16 +52,25 @@ class LinkerActor:
         self.out_prefix = out_prefix
 
     def link_keys(self, keys: list[str]) -> tuple[list[str], np.ndarray]:
-        qids = []
-        scores = np.zeros(len(keys), dtype=np.float32)
-        for i, k in enumerate(keys):
+        # keys within a batch repeat heavily (few distinct entities per
+        # corpus slice): resolve the uniques once, then broadcast via
+        # pandas factorize-take — much cheaper than a per-row dict loop.
+        import pandas as pd
+
+        s = pd.Series(keys, dtype=object)
+        codes, uniques = pd.factorize(s, sort=False)
+        u_qid = np.empty(len(uniques), dtype=object)
+        u_score = np.zeros(len(uniques), dtype=np.float32)
+        for i, k in enumerate(uniques):
             hit = self.index.get(k)
             if hit is None:
-                qids.append("")
+                u_qid[i] = ""
             else:
-                qids.append(hit[0])
-                scores[i] = hit[1]
-        return qids, scores
+                u_qid[i] = hit[0]
+                u_score[i] = hit[1]
+        if len(uniques) == 0:
+            return [], np.zeros(0, dtype=np.float32)
+        return u_qid[codes].tolist(), u_score[codes]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key_column).to_pylist()

@@ -24,24 +24,42 @@ from .linking import LinkerActor
 TRIPLE_KEY = ["subj_qid", "pred", "obj_qid"]
 
 
-def link_candidates(scored, alias_ref, *, concurrency=None, batch_size: int = 8192):
+class _BothLinker(LinkerActor):
+    """Links both argument keys per batch (subj_ / obj_ prefixes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sq, ss = self.link_keys(batch.column("subj_key").to_pylist())
+        oq, os_ = self.link_keys(batch.column("obj_key").to_pylist())
+        batch = batch.append_column("subj_qid", pa.array(sq, pa.string()))
+        batch = batch.append_column("subj_link_score", pa.array(ss, type=pa.float32()))
+        batch = batch.append_column("obj_qid", pa.array(oq, pa.string()))
+        batch = batch.append_column("obj_link_score", pa.array(os_, type=pa.float32()))
+        return batch
+
+
+_LINKER_CACHE: dict = {}
+
+
+def link_candidates(scored, alias_ref, *, concurrency=None, batch_size: int | None = None,
+                    as_tasks: bool = True):
+    """Append subj_qid/obj_qid (+ link scores) to scored candidates.
+    Default: elastic tasks with a per-worker-process linker cache (the
+    alias link index is small); ``as_tasks=False`` for an actor pool."""
+    if as_tasks:
+        key = alias_ref.hex() if hasattr(alias_ref, "hex") else str(id(alias_ref))
+
+        def _link(batch: pa.Table) -> pa.Table:
+            inst = _LINKER_CACHE.get(key)
+            if inst is None:
+                inst = _LINKER_CACHE[key] = _BothLinker(alias_ref)
+            return inst(batch)
+
+        return scored.map_batches(_link, batch_format="pyarrow",
+                                  batch_size=batch_size)
     if concurrency is None:
         from ..state.resources import pool_concurrency
 
         concurrency = pool_concurrency()
-    """Append subj_qid/obj_qid (+ link scores) to scored candidates —
-    one actor pool pass, both argument keys linked per batch."""
-
-    class _BothLinker(LinkerActor):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sq, ss = self.link_keys(batch.column("subj_key").to_pylist())
-            oq, os_ = self.link_keys(batch.column("obj_key").to_pylist())
-            batch = batch.append_column("subj_qid", pa.array(sq, pa.string()))
-            batch = batch.append_column("subj_link_score", pa.array(ss, type=pa.float32()))
-            batch = batch.append_column("obj_qid", pa.array(oq, pa.string()))
-            batch = batch.append_column("obj_link_score", pa.array(os_, type=pa.float32()))
-            return batch
-
     return scored.map_batches(
         _BothLinker,
         fn_constructor_args=(alias_ref,),
@@ -64,9 +82,23 @@ def _take_max_p(group: pd.DataFrame) -> pd.DataFrame:
     return group.loc[[group["p"].idxmax()]]
 
 
-def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None = None):
+def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None = None,
+                        small_output: bool = True):
     """scored+linked candidates → deduped, sorted triples Dataset
-    (written to ``out_dir`` when given; partitioned parquet)."""
+    (written to ``out_dir`` when given; partitioned parquet).
+
+    Dedup is two-phase either way: a per-batch combiner first (keeps
+    one max-p witness per triple key per batch), so at most
+    (distinct triples × blocks) rows survive to the final phase.
+
+    ``small_output=True`` (default): the combined partials funnel into
+    ONE finalize task (repartition(1) + in-task dedup+sort).  Right
+    whenever the distinct-triple set fits a worker's heap (≲10M rows)
+    — and an order of magnitude cheaper than an all-to-all appended to
+    the live map chain.  Set False when the distinct output itself is
+    huge (planet-scale KGs): that path hash-partitions by triple key
+    (groupby + per-group max-p) and range-sorts — fully distributed.
+    """
 
     def _project(batch: pa.Table) -> pa.Table:
         keep = pc.and_(pc.greater_equal(batch.column("p"), threshold),
@@ -88,8 +120,21 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
     triples = linked.map_batches(_project, batch_format="pyarrow")
     combined = triples.map_batches(_combine_batch, batch_format="pyarrow",
                                    batch_size=32768)
-    deduped = combined.groupby(TRIPLE_KEY).map_groups(_take_max_p, batch_format="pandas")
-    out = deduped.sort(TRIPLE_KEY)
+    if small_output:
+        def _finalize(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            df = b.to_pandas()
+            idx = df.groupby(TRIPLE_KEY, sort=False)["p"].idxmax()
+            df = df.loc[idx.to_numpy()].sort_values(TRIPLE_KEY)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        out = combined.repartition(1).map_batches(_finalize, batch_format="pyarrow",
+                                                  batch_size=None)
+    else:
+        deduped = combined.groupby(TRIPLE_KEY).map_groups(_take_max_p,
+                                                          batch_format="pandas")
+        out = deduped.sort(TRIPLE_KEY)
     if out_dir is not None:
         out.write_parquet(out_dir)
     return out

@@ -113,6 +113,6 @@ def sentences_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def split_docs_to_sentences(docs, *, batch_size: int = 512):
+def split_docs_to_sentences(docs, *, batch_size: int | None = None):
     """docs Dataset → sentences Dataset (stateless tasks)."""
     return docs.map_batches(sentences_batch, batch_format="pyarrow", batch_size=batch_size)

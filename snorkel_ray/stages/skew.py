@@ -1,0 +1,80 @@
+"""Skew-aware aggregation: salted two-phase groupby (SURVEY.md §4, A9).
+
+North rule: "skew from hot entities and giant pages is handled with
+salted keys and explicit repartitioning".  A plain
+``groupby(key).count()`` ships every row of a hot key to one reducer;
+with one entity owning ~30% of mentions (the planted-KB case) that
+reducer becomes the job.  The salted pattern:
+
+1. [map]      append ``salt = hash(row) % S`` for hot keys only
+              (cold keys keep salt 0 — no extra reduce rows);
+2. [shuffle]  groupby (key, salt) → partial aggregates, ≤ S rows per
+              hot key, spread over S reducers;
+3. [shuffle]  groupby key over the TINY partial table → final.
+
+Hot keys come from a driver-side sample (cheap, approximate — a key
+missed by the sample still works, just unsalted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ids import hash64
+
+
+def detect_hot_keys(ds, key: str, *, sample_rows: int = 20_000,
+                    hot_fraction: float = 0.01) -> set:
+    """Driver-side sample → keys exceeding ``hot_fraction`` of rows."""
+    sample = ds.limit(sample_rows).to_pandas()[key]
+    counts = sample.value_counts()
+    return set(counts[counts / max(len(sample), 1) > hot_fraction].index)
+
+
+def salted_count(ds, key: str, *, salt_buckets: int = 16,
+                 hot_keys: set | None = None, count_alias: str = "n"):
+    """groupby(key).count() that survives hot keys.
+
+    → Dataset (key, n). Two-phase: (key, salt) partials then key final.
+    """
+    from ray.data.aggregate import Sum
+
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(ds, key)
+
+    import ray
+
+    hot_ref = ray.put(hot_keys)
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        keys = batch.column(key).to_pylist()
+        salts = np.zeros(len(keys), dtype=np.int32)
+        for i, k in enumerate(keys):
+            if k in hot:
+                salts[i] = hash64(f"{i}:{k}") % salt_buckets
+        return pa.table({key: batch.column(key),
+                         "_salt": pa.array(salts, pa.int32()),
+                         "_one": pa.array(np.ones(len(keys), np.int64), pa.int64())})
+
+    partial = (ds.map_batches(_salt, batch_format="pyarrow")
+               .groupby([key, "_salt"])
+               .aggregate(Sum("_one", alias_name="_partial")))
+    final = partial.groupby(key).aggregate(Sum("_partial", alias_name=count_alias))
+    return final
+
+
+def repartition_by_key(ds, key: str, num_partitions: int):
+    """Explicit hash repartition: adds ``_bucket = hash(key) % P`` and
+    shuffles so equal keys co-locate — the reusable partitioning step
+    before a sequence of per-key operations (pick ONE key and reuse)."""
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pylist()
+        b = np.fromiter((hash64(str(k)) % num_partitions for k in keys),
+                        dtype=np.int64, count=len(keys))
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow").repartition(
+        num_partitions, shuffle=True)

@@ -11,9 +11,11 @@ gets at most ``frac`` of session CPUs, min 1, and pools always leave
 from __future__ import annotations
 
 
-def pool_concurrency(frac: float = 0.25, *, min_actors: int = 1) -> tuple[int, int]:
+def pool_concurrency(frac: float = 0.25) -> tuple[int, int]:
     """(min, max) actor-pool size for one stage: max = frac × session
-    CPUs, clamped to [1, cpus - 1]."""
+    CPUs clamped to [1, cpus - 1]; min = half of max so pools ramp
+    immediately on big sessions (autoscale-from-1 wastes seconds of a
+    short job) while a 4-CPU session still floors at 1."""
     try:
         import ray
 
@@ -21,4 +23,4 @@ def pool_concurrency(frac: float = 0.25, *, min_actors: int = 1) -> tuple[int, i
     except Exception:
         cpus = 4
     hi = max(1, min(int(cpus * frac), cpus - 1))
-    return (min(min_actors, hi), hi)
+    return (max(1, hi // 2), hi)
