@@ -326,6 +326,37 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float32)
 
 
+def q_union_distinct_orders(sf_dir: str):
+    """Dataset.union of two overlapping slices + exact dedup (SURVEY.md
+    D3: candidate-set union across extractions, then D1 dedup)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def _part(keep):
+        def _f(b: pa.Table, k=tuple(keep)) -> pa.Table:
+            mod3 = np.asarray(b.column("o_orderkey")) % 3
+            return b.filter(pa.array(np.isin(mod3, k)))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    merged = _part([0, 1]).union(_part([1, 2]))
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    def _count(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    deduped = exact_dedup(
+        merged.map_batches(lambda b: b.append_column(
+            "key_str", pc.cast(b.column("o_orderkey"), pa.string())),
+            batch_format="pyarrow"),
+        "key_str")
+    res = deduped.map_batches(_count, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n_distinct"))
+    return pa.table({"n_distinct": pa.array([res["n_distinct"]], pa.int64())})
+
+
 def q_word_count_salted(sf_dir: str):
     """Salted two-phase word-frequency count (skew op): explode words,
     hot keys spread over salt buckets, top 20 by count."""
@@ -445,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
         "lf_keyword_coverage": q_lf_keyword_coverage,
+        "union_distinct_orders": q_union_distinct_orders,
         "word_count_salted": q_word_count_salted,
         "sentence_split_counts": q_sentence_split_counts,
         "embedding_topk": q_embedding_topk,
@@ -520,6 +552,12 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN list_contains(string_split(text,' '), 'stream')
                          THEN 1 ELSE 0 END) FROM documents
             ) ORDER BY lf_name""",
+        "union_distinct_orders": """
+            SELECT count(DISTINCT o_orderkey) AS n_distinct FROM (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)
+              UNION ALL
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (1, 2)
+            )""",
         "word_count_salted": """
             SELECT w AS word, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -124,6 +124,17 @@ def score_vs_gold(scored, gold: pa.Table, *, threshold: float = 0.5) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# O4: viewer-style sampling (the reference SentenceNgramViewer shows n
+# candidates; the UI itself is out of scope — this is its data feed)
+# ---------------------------------------------------------------------------
+
+def sample_candidates(ds, n: int = 10, *, seed: int = 7, frac_hint: float = 0.01):
+    """Deterministic small sample for inspection: seeded random_sample
+    (cheap, streaming) topped up by limit."""
+    return ds.random_sample(min(1.0, max(frac_hint, 0.0001)), seed=seed).limit(n)
+
+
+# ---------------------------------------------------------------------------
 # A8: corpus summary stats
 # ---------------------------------------------------------------------------
 

@@ -91,13 +91,16 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
     one max-p witness per triple key per batch), so at most
     (distinct triples × blocks) rows survive to the final phase.
 
-    ``small_output=True`` (default): the combined partials funnel into
-    ONE finalize task (repartition(1) + in-task dedup+sort).  Right
-    whenever the distinct-triple set fits a worker's heap (≲10M rows)
-    — and an order of magnitude cheaper than an all-to-all appended to
-    the live map chain.  Set False when the distinct output itself is
-    huge (planet-scale KGs): that path hash-partitions by triple key
-    (groupby + per-group max-p) and range-sorts — fully distributed.
+    ``small_output=True`` (default): the combined partials (≤ distinct
+    triples × blocks rows) stream to the DRIVER for the final
+    dedup+sort in pandas.  Right whenever the distinct-triple set fits
+    driver memory (≲10M rows).  No AllToAll of any kind — measured on
+    this Ray version, even a ``repartition(1)`` appended to a live map
+    chain forces bulk materialization of the whole upstream through the
+    object store (58s plan → 209s at 4 CPUs).  Set False when the
+    distinct output itself is huge (planet-scale KGs): that path
+    hash-partitions by triple key (groupby + per-group max-p) and
+    range-sorts — fully distributed.
     """
 
     def _project(batch: pa.Table) -> pa.Table:
@@ -121,16 +124,17 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
     combined = triples.map_batches(_combine_batch, batch_format="pyarrow",
                                    batch_size=32768)
     if small_output:
-        def _finalize(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return b
-            df = b.to_pandas()
-            idx = df.groupby(TRIPLE_KEY, sort=False)["p"].idxmax()
-            df = df.loc[idx.to_numpy()].sort_values(TRIPLE_KEY)
-            return pa.Table.from_pandas(df, preserve_index=False)
+        import ray.data as rd
 
-        out = combined.repartition(1).map_batches(_finalize, batch_format="pyarrow",
-                                                  batch_size=None)
+        df = combined.to_pandas()
+        if len(df):
+            idx = df.groupby(TRIPLE_KEY, sort=False)["p"].idxmax()
+            df = df.loc[idx.to_numpy()].sort_values(TRIPLE_KEY).reset_index(drop=True)
+            out = rd.from_pandas(df)
+        else:  # schema-stable empty result
+            from ..schemas import TRIPLES
+
+            out = rd.from_arrow(TRIPLES.empty_table())
     else:
         deduped = combined.groupby(TRIPLE_KEY).map_groups(_take_max_p,
                                                           batch_format="pandas")

@@ -1,0 +1,89 @@
+"""Property/randomized tests (SURVEY.md §5 — the reference's
+test/learning synthetic-generator idea, extended with hypothesis)."""
+
+import hypothesis.strategies as st
+import numpy as np
+from hypothesis import given, settings
+
+from snorkel_ray.functions.ids import (
+    construct_stable_id,
+    doc_id_of_url,
+    normalize_entity_key,
+    split_stable_id,
+)
+from snorkel_ray.stages.extract import html_to_text
+from snorkel_ray.stages.sentences import split_sentences, tokenize
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_offsets_exact(s):
+    words, offs = tokenize(s)
+    for w, o in zip(words, offs):
+        assert s[o : o + len(w)] == w
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_split_sentences_offsets_exact_and_lossless_words(s):
+    sents = split_sentences(s)
+    for start, sent in sents:
+        assert s[start : start + len(sent)] == sent
+    # no non-whitespace content is lost by splitting
+    joined = "".join(sent for _, sent in sents)
+    assert sorted("".join(joined.split())) == sorted("".join(s.split()))
+
+
+@given(st.text(max_size=120), st.integers(0, 10**6), st.integers(0, 10**6))
+@settings(max_examples=100, deadline=None)
+def test_stable_id_roundtrip(url, a, b):
+    # stable ids must round-trip for any url without newlines/"::" clash
+    sid = construct_stable_id(url, "span", a, b)
+    parent, typ, start, end = split_stable_id(sid)
+    assert (typ, start, end) == ("span", a, b)
+    assert parent == url or "::" in url  # ambiguity only if url contains '::'
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_normalize_entity_key_idempotent(s):
+    once = normalize_entity_key(s)
+    assert normalize_entity_key(once) == once
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_doc_id_deterministic_and_64bit(url):
+    a, b = doc_id_of_url(url), doc_id_of_url(url)
+    assert a == b and 0 <= a < 2**64
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_html_to_text_total_and_deterministic(s):
+    # never raises, always a string, deterministic, no leading/trailing
+    # whitespace per line
+    out = html_to_text(s)
+    assert out == html_to_text(s)
+    for line in out.split("\n"):
+        assert line == line.strip()
+
+
+@given(st.lists(st.sampled_from(["a", "b", "see", "run"]), min_size=0, max_size=30),
+       st.integers(1, 5))
+@settings(max_examples=100, deadline=None)
+def test_ngram_enumeration_count(words, n_max):
+    from snorkel_ray.functions.matchers import Ngrams
+
+    sent = " ".join(words)
+    toks, offs = tokenize(sent)
+    spans = list(Ngrams(n_max)(toks, offs, sent))
+    L = len(toks)
+    expected = sum(min(n_max, L - i) for i in range(L))
+    assert len(spans) == expected
+    for s in spans:
+        assert sent[s.char_start : s.char_end] == s.text
