@@ -1,0 +1,173 @@
+"""Shard-level resumable execution — per-partition lineage + metrics.
+
+North rule: "every stage checkpoints per-partition lineage and counters
+so runs resume mid-pipeline" and "write partitioned output (one
+directory per input shard) so a failed run can skip finished
+partitions".  `state/checkpoint.py` gives stage-level resume; this
+module adds the shard dimension: the INPUT is split into deterministic
+hash-of-url shards, each shard runs the whole per-shard portion of the
+pipeline independently and writes its own output directory atomically
+(tmp → rename) with a `_manifest.json` carrying the shard's lineage
+fingerprint and counters (rows in/out, wall seconds, rows/s).  A rerun
+recomputes only shards whose manifest is missing or whose fingerprint
+changed.  Global (cross-shard) steps — label-model fit, final dedup —
+run after all shards are present, reading the shard outputs.
+
+This mirrors a 10^12-doc layout: one shard ≈ one input partition
+(WARC segment / parquet file range); kill the job at shard k and the
+rerun skips 0..k-1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import pyarrow as pa
+
+from ..functions.ids import hash64
+from .checkpoint import CODE_VERSION, fingerprint
+
+
+def shard_pages(pages, num_shards: int):
+    """Deterministic url-hash shards: list of (shard_idx, Dataset)."""
+
+    def _filter(shard: int):
+        def _f(b: pa.Table) -> pa.Table:
+            urls = b.column("url").to_pylist()
+            import numpy as np
+
+            keep = np.fromiter(((hash64(u) % num_shards) == shard for u in urls),
+                               dtype=bool, count=len(urls))
+            return b.filter(pa.array(keep))
+
+        return _f
+
+    return [(s, pages.map_batches(_filter(s), batch_format="pyarrow"))
+            for s in range(num_shards)]
+
+
+def run_sharded_stage(
+    pages,
+    root: str,
+    stage_name: str,
+    build: Callable,  # build(shard_dataset) -> Dataset
+    *,
+    num_shards: int,
+    params: dict | None = None,
+    input_fingerprint: str = "pages",
+) -> tuple[list[str], list[dict]]:
+    """Run ``build`` per shard with skip-on-manifest-match.
+
+    → (list of shard output dirs, per-shard manifest dicts).  Output
+    layout: ``<root>/<stage_name>/shard=<i>/part-*.parquet`` +
+    ``_manifest.json``.
+    """
+    os.makedirs(os.path.join(root, stage_name), exist_ok=True)
+    dirs: list[str] = []
+    manifests: list[dict] = []
+    for shard, ds in shard_pages(pages, num_shards):
+        fp = fingerprint(input_fingerprint, stage_name, shard, num_shards,
+                         sorted((params or {}).items()), CODE_VERSION)
+        final = os.path.join(root, stage_name, f"shard={shard}")
+        mpath = os.path.join(final, "_manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("fingerprint") == fp:
+                m["skipped"] = True
+                dirs.append(final)
+                manifests.append(m)
+                continue
+            shutil.rmtree(final)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        t0 = time.perf_counter()
+        out = build(ds)
+        out.write_parquet(tmp)
+        wall = time.perf_counter() - t0
+
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+                   for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(tmp, final)
+        m = {
+            "fingerprint": fp,
+            "stage": stage_name,
+            "shard": shard,
+            "num_shards": num_shards,
+            "rows": rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "code_version": CODE_VERSION,
+            "skipped": False,
+        }
+        with open(mpath, "w") as f:
+            json.dump(m, f, indent=1)
+        dirs.append(final)
+        manifests.append(m)
+    return dirs, manifests
+
+
+def run_kg_pipeline_sharded(
+    pages,
+    alias_table: pa.Table,
+    facts=None,
+    *,
+    root: str,
+    num_shards: int = 4,
+    lang: str = "en",
+    threshold: float = 0.5,
+    input_fingerprint: str = "pages",
+):
+    """Shard-resumable flagship pipeline.
+
+    Per shard: lang filter → extract → sentences → candidates → LFs →
+    parquet (`labeled/shard=i/`).  Global: pattern counts over all
+    shard outputs → EM fit → score+link+materialize (also resumable at
+    stage level via the final manifest).  → (triples Dataset, report).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..stages.candidates import extract_candidates
+    from ..stages.extract import extract_docs
+    from ..stages.label_model import fit_label_model, pattern_counts, score_marginals
+    from ..stages.labeling import apply_lfs
+    from ..stages.linking import build_link_index
+    from ..stages.materialize import link_candidates, materialize_triples
+    from ..stages.sentences import split_docs_to_sentences
+
+    alias_ref = ray.put(alias_table)
+    kb_ref = ray.put({"facts": [tuple(f) for f in (facts or [])],
+                      "link_index": build_link_index(alias_table)}) if facts else None
+
+    def build(shard_ds):
+        filtered = shard_ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("lang"), lang)),
+            batch_format="pyarrow")
+        return apply_lfs(
+            extract_candidates(split_docs_to_sentences(extract_docs(filtered)),
+                               alias_ref),
+            kb_ref)
+
+    dirs, manifests = run_sharded_stage(
+        pages, root, "labeled", build, num_shards=num_shards,
+        params={"lang": lang, "lfs": "kg_v1"},
+        input_fingerprint=input_fingerprint)
+
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    labeled = rd.read_parquet(files)
+    model = fit_label_model(pattern_counts(labeled))
+    scored = score_marginals(labeled, model)
+    linked = link_candidates(scored, alias_ref)
+    triples = materialize_triples(linked, threshold=threshold,
+                                  out_dir=os.path.join(root, "triples"))
+    return triples, {"model": model, "shards": manifests}
