@@ -69,17 +69,28 @@ def link_candidates(scored, alias_ref, *, concurrency=None, batch_size: int | No
     )
 
 
+_WITNESS_ORDER = TRIPLE_KEY + ["p", "url", "sent_stable_id"]
+_WITNESS_ASC = [True, True, True, False, True, True]
+
+
+def _best_witness(df: pd.DataFrame) -> pd.DataFrame:
+    """One row per triple key: max p, ties broken by (url,
+    sent_stable_id) — DETERMINISTIC regardless of block arrival order
+    (a bare idxmax picks whichever tied witness arrived first and makes
+    reruns differ in the witness columns)."""
+    df = df.sort_values(_WITNESS_ORDER, ascending=_WITNESS_ASC, kind="mergesort")
+    return df.groupby(TRIPLE_KEY, sort=False).head(1)
+
+
 def _combine_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: keep the max-p witness per triple key."""
+    """Per-batch combiner: keep the best witness per triple key."""
     if batch.num_rows == 0:
         return batch
-    df = batch.to_pandas()
-    idx = df.groupby(TRIPLE_KEY, sort=False)["p"].idxmax()
-    return pa.Table.from_pandas(df.loc[idx.to_numpy()], preserve_index=False)
+    return pa.Table.from_pandas(_best_witness(batch.to_pandas()), preserve_index=False)
 
 
 def _take_max_p(group: pd.DataFrame) -> pd.DataFrame:
-    return group.loc[[group["p"].idxmax()]]
+    return _best_witness(group)
 
 
 def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None = None,
@@ -128,8 +139,7 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
 
         df = combined.to_pandas()
         if len(df):
-            idx = df.groupby(TRIPLE_KEY, sort=False)["p"].idxmax()
-            df = df.loc[idx.to_numpy()].sort_values(TRIPLE_KEY).reset_index(drop=True)
+            df = _best_witness(df).sort_values(TRIPLE_KEY).reset_index(drop=True)
             out = rd.from_pandas(df)
         else:  # schema-stable empty result
             from ..schemas import TRIPLES
