@@ -245,6 +245,59 @@ def q_events_daily_counts(sf_dir: str):
     return out.sort("day")
 
 
+def q_user_session_counts(sf_dir: str):
+    """Session windows per user (30-min gap) → sessions per user.
+    Window op per the batch-log model (sort within key group)."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = session_windows(ds, gap="30min")
+    return (sess.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+            .sort("user_id"))
+
+
+def q_user_daily_windows(sf_dir: str):
+    """Per-user tumbling 1-day windows → (user_id, n_days_active,
+    total_events)."""
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.windows import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    win = tumbling_window_counts(ds, width="1D")
+    return (win.groupby("user_id")
+            .aggregate(Count(alias_name="n_days_active"),
+                       Sum("n_events", alias_name="total_events"))
+            .sort("user_id"))
+
+
+def q_order_price_quantiles(sf_dir: str):
+    """Median order price by priority (Quantile aggregate)."""
+    from ray.data.aggregate import Quantile
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = ds.groupby("o_orderpriority").aggregate(
+        Quantile("o_totalprice", q=0.5, alias_name="median_price"))
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "median_price": pc.round(b.column("median_price"), 2)})
+
+    return out.map_batches(_round, batch_format="pyarrow").sort("o_orderpriority")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct user_ids (rows-only: approximate by
+    construction; the test asserts <5% error vs exact)."""
+    from snorkel_ray.stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_users": pa.array([round(est)], pa.int64())})
+
+
 # --- text operators over documents -----------------------------------------
 
 def q_token_counts(sf_dir: str):
@@ -473,6 +526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "events_json_extract": q_events_json_extract,
         "events_daily_counts": q_events_daily_counts,
+        "user_session_counts": q_user_session_counts,
+        "user_daily_windows": q_user_daily_windows,
+        "order_price_quantiles": q_order_price_quantiles,
+        "approx_distinct_users": q_approx_distinct_users,
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
         "lf_keyword_coverage": q_lf_keyword_coverage,
@@ -529,6 +586,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    sum(value) AS sum_value
             FROM events GROUP BY 1 ORDER BY day""",
+        "user_session_counts": """
+            SELECT user_id, count(*) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE new_session = 1 GROUP BY user_id ORDER BY user_id""",
+        "user_daily_windows": """
+            SELECT user_id, count(*) AS n_days_active,
+                   sum(n) AS total_events FROM (
+              SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n
+              FROM events GROUP BY user_id, date_trunc('day', ts)
+            ) GROUP BY user_id ORDER BY user_id""",
+        "order_price_quantiles": """
+            SELECT o_orderpriority,
+                   round(median(o_totalprice), 2) AS median_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "token_counts": """
             SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang""",
