@@ -49,10 +49,15 @@ class Span:
 
 
 class Ngrams:
-    """Enumerate all n-gram spans with 1 <= n <= n_max (reference default 5)."""
+    """Enumerate all n-gram spans with 1 <= n <= n_max (reference
+    default 5), plus sub-spans of unigrams split on ``split_tokens``
+    (reference ``Ngrams(split_tokens=('-', '/'))``,
+    ``snorkel/candidates.py`` ≈L40: "trade-off" also yields "trade" and
+    "off")."""
 
-    def __init__(self, n_max: int = 5):
+    def __init__(self, n_max: int = 5, split_tokens: tuple[str, ...] = ("-", "/")):
         self.n_max = n_max
+        self.split_tokens = split_tokens
 
     def __call__(self, words: list[str], offsets: list[int], sent_text: str) -> Iterator[Span]:
         L = len(words)
@@ -62,6 +67,16 @@ class Ngrams:
                 cs = offsets[i]
                 ce = offsets[j] + len(words[j])
                 yield Span(tuple(words[i : j + 1]), cs, ce, i, j, sent_text[cs:ce])
+            # split-token sub-spans of the unigram
+            w = words[i]
+            for st in self.split_tokens:
+                if st in w:
+                    pos = 0
+                    for part in w.split(st):
+                        if part:
+                            cs = offsets[i] + pos
+                            yield Span((part,), cs, cs + len(part), i, i, part)
+                        pos += len(part) + len(st)
 
 
 class Matcher:

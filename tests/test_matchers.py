@@ -81,3 +81,19 @@ def test_lambda_and_capitalized():
     cm = CapitalizedMatcher()
     got = {s.text for s in cm.apply(spans)}
     assert "Robert Smith" in got and "visited" not in got
+
+
+def test_ngram_split_tokens():
+    sent = "the trade-off matters"
+    spans = spans_of(sent, n_max=1)
+    texts = {s.text for s in spans}
+    assert {"trade-off", "trade", "off"} <= texts
+    for s in spans:
+        assert sent[s.char_start : s.char_end] == s.text
+    # disabled when split_tokens=()
+    from snorkel_ray.functions.matchers import Ngrams
+    from snorkel_ray.stages.sentences import tokenize
+
+    words, offs = tokenize(sent)
+    plain = {s.text for s in Ngrams(1, split_tokens=())(words, offs, sent)}
+    assert "trade" not in plain
