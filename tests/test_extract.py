@@ -43,3 +43,22 @@ def test_giant_page():
     text = html_to_text(render_html(plan))
     assert text == expected_text(plan)
     assert text.count("\n") >= 100
+
+
+def test_expected_triples_generator_frozen():
+    """Drift guard: the planted-truth generator is part of the golden
+    contract (SURVEY.md §0 — it IS the reference); any change to
+    synth.py that alters the planted facts must consciously re-freeze
+    this hash (and bump SYNTH_VERSION)."""
+    import hashlib
+
+    from snorkel_ray.synth import expected_triples
+
+    g = expected_triples(1000, 42)
+    canon = "\n".join(
+        f"{a}|{b}|{c}"
+        for a, b, c in zip(*[g.column(c).to_pylist()
+                             for c in ("subj_qid", "pred", "obj_qid")])
+    )
+    assert hashlib.sha256(canon.encode()).hexdigest() == \
+        "30e3e821591aac0ad65acb6c4546dea18610b5a60c8ebbb42c5ff374039881da"
