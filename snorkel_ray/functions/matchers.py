@@ -174,13 +174,24 @@ class Inverse(Matcher):
 class Concat(Matcher):
     """Span matches if it splits into a left part matching child 0 and a
     right part matching child 1 (reference ≈L230–350; token-boundary
-    splits only, no permutations)."""
+    splits; ``permutations=True`` also accepts right+left order)."""
 
     def __init__(self, left: Matcher, right: Matcher, left_required: bool = True,
-                 right_required: bool = True, longest_match_only: bool = True):
+                 right_required: bool = True, permutations: bool = False,
+                 longest_match_only: bool = True):
         super().__init__(left, right, longest_match_only=longest_match_only)
         self.left_required = left_required
         self.right_required = right_required
+        self.permutations = permutations
+
+    @staticmethod
+    def _split(span: Span, k: int) -> tuple[Span, Span]:
+        lw = span.words[:k]
+        rw = span.words[k:]
+        left = Span(lw, span.char_start, span.char_start + sum(map(len, lw)) + k - 1,
+                    span.word_start, span.word_start + k - 1, " ".join(lw))
+        right = Span(rw, 0, 0, span.word_start + k, span.word_end, " ".join(rw))
+        return left, right
 
     def _f(self, span: Span) -> bool:
         L, R = self.children
@@ -190,12 +201,10 @@ class Concat(Matcher):
         if not self.right_required and L._f(span):
             return True
         for k in range(1, n):
-            lw = span.words[:k]
-            rw = span.words[k:]
-            left = Span(lw, span.char_start, span.char_start + sum(map(len, lw)) + k - 1,
-                        span.word_start, span.word_start + k - 1, " ".join(lw))
-            right = Span(rw, 0, 0, span.word_start + k, span.word_end, " ".join(rw))
+            left, right = self._split(span, k)
             if L._f(left) and R._f(right):
+                return True
+            if self.permutations and R._f(left) and L._f(right):
                 return True
         return False
 

@@ -42,7 +42,8 @@ CANDIDATE_COLUMNS = [
 
 class CandidateExtractor:
     def __init__(self, alias_ref, *, max_gap: int = 12,
-                 cooccur_pred: str | None = None, cooccur_gap: int = 3):
+                 cooccur_pred: str | None = None, cooccur_gap: int = 3,
+                 both_orders: bool = False):
         import ray
 
         table = alias_ref if isinstance(alias_ref, pa.Table) else ray.get(alias_ref)
@@ -56,6 +57,13 @@ class CandidateExtractor:
         # KGs); None disables it (flagship default).
         self.cooccur_pred = cooccur_pred
         self.cooccur_gap = cooccur_gap
+        # both_orders=True also emits the obj-before-subj candidate
+        # (reference generates the full product of spaces; its
+        # symmetric_relations flag prunes mirror duplicates). Forward
+        # only by default: English relational phrasing is left-to-right
+        # and the built-in LF set is direction-aware-forward; doubling
+        # candidate volume at 10^12 docs needs direction-aware LFs.
+        self.both_orders = both_orders
 
     # same greedy longest-match sweep as MentionDetector (kept local so
     # the fused stage has no cross-module state)
@@ -120,30 +128,39 @@ class CandidateExtractor:
                     pred = detect_predicate(between)
                     if not pred and self.cooccur_pred and gap <= self.cooccur_gap:
                         pred = self.cooccur_pred
-                    s_cs, s_ce = offs[sws], offs[swe] + len(words[swe])
-                    o_cs, o_ce = offs[ows], offs[owe] + len(words[owe])
-                    s_text = text[s_cs:s_ce]
-                    o_text = text[o_cs:o_ce]
-                    o["cand_stable_id"].append(
-                        f"{urls[r]}::cand:{a0 + s_cs}:{a0 + o_ce}:{pred or 'none'}"
-                    )
-                    o["doc_id"].append(doc_ids[r])
-                    o["url"].append(urls[r])
-                    o["sent_idx"].append(int(sent_idxs[r]))
-                    o["sent_stable_id"].append(sids[r])
-                    o["pred"].append(pred)
-                    o["subj_text"].append(s_text)
-                    o["subj_key"].append(normalize_entity_key(s_text))
-                    o["subj_word_start"].append(sws)
-                    o["subj_word_end"].append(swe)
-                    o["obj_text"].append(o_text)
-                    o["obj_key"].append(normalize_entity_key(o_text))
-                    o["obj_word_start"].append(ows)
-                    o["obj_word_end"].append(owe)
-                    o["gap"].append(gap)
-                    o["between_text"].append(between)
-                    o["pre_text"].append(" ".join(folded[:sws]))
-                    o["sent_text"].append(text)
+
+                    def emit(a_ws, a_we, b_ws, b_we, direction):
+                        a_cs, a_ce = offs[a_ws], offs[a_we] + len(words[a_we])
+                        b_cs, b_ce = offs[b_ws], offs[b_we] + len(words[b_we])
+                        a_text = text[a_cs:a_ce]
+                        b_text = text[b_cs:b_ce]
+                        lo_cs = min(a_cs, b_cs)
+                        hi_ce = max(a_ce, b_ce)
+                        o["cand_stable_id"].append(
+                            f"{urls[r]}::cand:{a0 + lo_cs}:{a0 + hi_ce}:"
+                            f"{pred or 'none'}:{direction}"
+                        )
+                        o["doc_id"].append(doc_ids[r])
+                        o["url"].append(urls[r])
+                        o["sent_idx"].append(int(sent_idxs[r]))
+                        o["sent_stable_id"].append(sids[r])
+                        o["pred"].append(pred)
+                        o["subj_text"].append(a_text)
+                        o["subj_key"].append(normalize_entity_key(a_text))
+                        o["subj_word_start"].append(a_ws)
+                        o["subj_word_end"].append(a_we)
+                        o["obj_text"].append(b_text)
+                        o["obj_key"].append(normalize_entity_key(b_text))
+                        o["obj_word_start"].append(b_ws)
+                        o["obj_word_end"].append(b_we)
+                        o["gap"].append(gap)
+                        o["between_text"].append(between)
+                        o["pre_text"].append(" ".join(folded[:min(a_ws, b_ws)]))
+                        o["sent_text"].append(text)
+
+                    emit(sws, swe, ows, owe, "f")
+                    if self.both_orders:
+                        emit(ows, owe, sws, swe, "r")
 
         return pa.table(
             {
@@ -185,12 +202,13 @@ def _cache_key(ref) -> str:
 
 def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
                        cooccur_pred: str | None = None, cooccur_gap: int = 3,
+                       both_orders: bool = False,
                        concurrency=None, batch_size: int | None = None,
                        as_tasks: bool = True):
     kwargs = {"max_gap": max_gap, "cooccur_pred": cooccur_pred,
-              "cooccur_gap": cooccur_gap}
+              "cooccur_gap": cooccur_gap, "both_orders": both_orders}
     if as_tasks:
-        key = (_cache_key(alias_ref), max_gap, cooccur_pred, cooccur_gap)
+        key = (_cache_key(alias_ref), max_gap, cooccur_pred, cooccur_gap, both_orders)
 
         def _extract(batch: pa.Table) -> pa.Table:
             inst = _EXTRACTOR_CACHE.get(key)

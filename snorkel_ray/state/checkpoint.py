@@ -21,7 +21,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-CODE_VERSION = "1"  # bump to invalidate all checkpoints on semantic change
+CODE_VERSION = "2"  # bump to invalidate all checkpoints on semantic change
 
 
 def fingerprint(*parts: object) -> str:

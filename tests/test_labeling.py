@@ -62,3 +62,30 @@ def test_ds_lfs_abstain_without_kb():
     i = {n: j for j, n in enumerate(applier.lf_names)}
     assert not L[:, i["lf_ds_known_pair"]].any()
     assert not L[:, i["lf_ds_unknown_pair"]].any()
+
+
+def test_both_orders_candidates(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.candidates import extract_candidates
+    from snorkel_ray.stages.extract import extract_batch
+    from snorkel_ray.stages.sentences import sentences_batch
+    import pyarrow as pa
+
+    pages = pa.table({
+        "url": ["u1"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": [b"<p>Acme acquired Globex yesterday.</p>"],
+        "lang": ["en"],
+    })
+    sents = rd.from_arrow(sentences_batch(extract_batch(pages)))
+    alias = pa.table({"alias": ["Acme", "Globex"],
+                      "entity_qid": ["Q1", "Q2"],
+                      "prior": pa.array([1.0, 1.0], pa.float32())})
+    fwd = extract_candidates(sents, alias).to_pandas()
+    assert len(fwd) == 1 and fwd.iloc[0]["subj_text"] == "Acme"
+    both = extract_candidates(sents, alias, both_orders=True).to_pandas()
+    assert len(both) == 2
+    assert set(zip(both["subj_text"], both["obj_text"])) == \
+        {("Acme", "Globex"), ("Globex", "Acme")}
+    assert len(set(both["cand_stable_id"])) == 2
