@@ -117,7 +117,8 @@ def minhash_signatures(ds, column: str, id_column: str, *, num_perm: int = 64,
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
-def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16):
+def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
+                     dedup: bool = True):
     """signatures → candidate duplicate pairs via band-bucket groupby.
 
     Explode each row to (band_id, band_hash, id); groupby the bucket
@@ -152,6 +153,10 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16):
 
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
     pairs = exploded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    if not dedup:
+        # caller collects the (small) pair set and dedups driver-side —
+        # skips a second all-to-all on a table of candidate pairs
+        return pairs
     return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
@@ -176,8 +181,9 @@ def minhash_dedup(ds, column: str, id_column: str, *, num_perm: int = 64,
 
     sigs = minhash_signatures(ds, column, id_column, num_perm=num_perm,
                               shingle_k=shingle_k, seed=seed)
-    pairs_ds = lsh_bucket_pairs(sigs, id_column, bands=bands)
-    pairs = pairs_ds.to_pandas()  # candidate PAIRS only — small by design
+    pairs_ds = lsh_bucket_pairs(sigs, id_column, bands=bands, dedup=False)
+    # candidate PAIRS only — small by design; dedup driver-side
+    pairs = pairs_ds.to_pandas().drop_duplicates(["a", "b"]).reset_index(drop=True)
     if len(pairs):
         need = set(pairs["a"]) | set(pairs["b"])
         need_ref = ray.put(need)
