@@ -12,12 +12,18 @@ Ray is initialised by the driver BEFORE this module is imported: no
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# the driver may import this module with a cwd outside the repo;
+# make the sibling package importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TESTDATA_DEFAULT = "/root/testdata/sf0.001"
 
