@@ -84,9 +84,12 @@ class CheckpointedPipeline:
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        import time
+
+        t0 = time.perf_counter()
         ds = build()
         ds.write_parquet(tmp)
-        rows = sum(1 for _ in ())  # filled below without a second pass
+        wall = time.perf_counter() - t0
         # count rows from written file metadata (cheap, no recompute)
         import pyarrow.parquet as pq
 
@@ -99,6 +102,8 @@ class CheckpointedPipeline:
         os.replace(tmp, final)
         with open(manifest_path, "w") as f:
             json.dump({"fingerprint": fp, "stage": name, "rows": rows,
+                       "wall_sec": round(wall, 3),
+                       "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
                        "params": {k: repr(v) for k, v in params.items()},
                        "code_version": CODE_VERSION}, f, indent=1)
         self.log.append(StageResult(name, fp, final, rows, False))
