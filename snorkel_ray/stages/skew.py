@@ -65,6 +65,32 @@ def salted_count(ds, key: str, *, salt_buckets: int = 16,
     return final
 
 
+def split_by_row_size(ds, column: str, max_bytes: int = 1 << 20):
+    """Giant-row isolation (north rule: "giant pages ... handled with
+    salted keys and explicit repartitioning").
+
+    → (normal_ds, giant_ds): rows whose ``column`` payload exceeds
+    ``max_bytes`` are routed to their own stream, to be processed with
+    single-row batches / a dedicated pool so one 100 MB page cannot
+    straggle a 2000-row block.  Both sides are plain filtered views —
+    no shuffle; the caller unions the processed outputs.
+    """
+    import pyarrow.compute as pc
+
+    def _len(b: pa.Table):
+        col = b.column(column)
+        return pc.binary_length(col)
+
+    def _small(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(_len(b), max_bytes))
+
+    def _giant(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(_len(b), max_bytes))
+
+    return (ds.map_batches(_small, batch_format="pyarrow"),
+            ds.map_batches(_giant, batch_format="pyarrow"))
+
+
 def repartition_by_key(ds, key: str, num_partitions: int):
     """Explicit hash repartition: adds ``_bucket = hash(key) % P`` and
     shuffles so equal keys co-locate — the reusable partitioning step

@@ -106,3 +106,34 @@ def test_image_decoder_requires_fake_without_pillow():
     if _try_import_pillow() is None:
         with pytest.raises(NotImplementedError):
             ImageDecoder(fake=False)
+
+
+def test_split_by_row_size(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from snorkel_ray.stages.skew import split_by_row_size
+
+    rows = [{"url": f"u{i}", "html": (b"x" * (10_000 if i % 5 == 0 else 100))}
+            for i in range(20)]
+    ds = rd.from_items(rows)
+    small, giant = split_by_row_size(ds, "html", max_bytes=1000)
+    s, g = small.to_pandas(), giant.to_pandas()
+    assert len(s) == 16 and len(g) == 4
+    assert all(len(h) <= 1000 for h in s["html"])
+    assert all(len(h) > 1000 for h in g["html"])
+    # no rows lost
+    assert sorted(list(s["url"]) + list(g["url"])) == sorted(r["url"] for r in rows)
+
+
+def test_salted_count_matches_plain(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.skew import salted_count
+
+    rows = [{"k": "hot"} for _ in range(500)] + \
+           [{"k": f"cold{i}"} for i in range(50)]
+    out = salted_count(rd.from_items(rows), "k", salt_buckets=8,
+                       hot_keys={"hot"}).to_pandas().set_index("k")["n"]
+    assert out["hot"] == 500
+    assert out["cold7"] == 1 and len(out) == 51
