@@ -21,7 +21,6 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -303,8 +302,6 @@ def embedding_near_dup_pairs(ds, vec_column: str, id_column: str, *,
     """Random-hyperplane LSH bucket groupby, then exact cosine within
     buckets.  The scale path: no O(n²) matmul; bucket width is tunable
     via ``lsh_bits``."""
-    import pyarrow.types as pt
-
     first = ds.take(1)
     dim = len(first[0][vec_column])
     rng = np.random.default_rng(seed)

@@ -75,7 +75,6 @@ def score_vs_gold(scored, gold: pa.Table, *, threshold: float = 0.5) -> dict:
     no-shuffle semi-join; the confusion counts come back through one
     tiny global aggregate (partial + final)."""
     import ray
-    from ray.data.aggregate import Sum
 
     gmap = dict(zip(gold.column("cand_stable_id").to_pylist(),
                     gold.column("label").to_pylist()))

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
-import numpy as np
 import pyarrow as pa
 
 FeatureFn = Callable[[dict], Iterator[str]]

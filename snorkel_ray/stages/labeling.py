@@ -25,7 +25,6 @@ from typing import Callable
 import numpy as np
 import pyarrow as pa
 
-from ..functions.ids import normalize_entity_key
 from ..functions.predicates import NEGATION
 
 LFRegistry = dict[str, Callable]

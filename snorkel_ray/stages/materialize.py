@@ -14,7 +14,6 @@ blocks) rows, not the full candidate stream.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -13,7 +13,6 @@ need pre-splitting by time range first.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 
