@@ -44,6 +44,8 @@ def run_kg_pipeline(
     cooccur_pred: str | None = None,
     cooccur_gap: int = 3,
     fit_sample_rows: int | None = None,
+    canonicalize: bool = False,
+    diagnostics: bool = False,
 ):
     """→ (triples Dataset, info dict). Ray must already be initialised
     by the caller (driver contract: this function never calls
@@ -100,6 +102,41 @@ def run_kg_pipeline(
     linked, fp2 = cp.stage("scored_linked", {"threshold": threshold},
                            lambda: linked, prev_fp=fp) if checkpoint_dir else (linked, fp)
 
+    if canonicalize:
+        # groupby on normalized entity keys + connected-component merge
+        # (north star). With a dictionary linker every linked key is
+        # already qid-anchored, so this re-labels only keys whose
+        # clusters merge through shared qids — enable for corpora with
+        # colliding/unlinked surface forms; off by default because the
+        # dictionary path already canonicalizes and the CC shuffles the
+        # (small) distinct-edge table.
+        from ..stages.canonicalize import canonical_entity_map
+
+        def _edges_view(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "entity_key": pa.concat_arrays([
+                    b.column("subj_key").combine_chunks(),
+                    b.column("obj_key").combine_chunks()]),
+                "qid": pa.concat_arrays([
+                    b.column("subj_qid").combine_chunks(),
+                    b.column("obj_qid").combine_chunks()]),
+            })
+
+        cmap = canonical_entity_map(
+            linked.map_batches(_edges_view, batch_format="pyarrow")).to_pandas()
+        canon = dict(zip(cmap["entity_key"], cmap["canonical_id"]))
+
+        def _apply_canon(b: pa.Table) -> pa.Table:
+            sq = [canon.get(k, q) for k, q in zip(b.column("subj_key").to_pylist(),
+                                                  b.column("subj_qid").to_pylist())]
+            oq = [canon.get(k, q) for k, q in zip(b.column("obj_key").to_pylist(),
+                                                  b.column("obj_qid").to_pylist())]
+            b = b.drop_columns(["subj_qid", "obj_qid"])
+            b = b.append_column("subj_qid", pa.array(sq, pa.string()))
+            return b.append_column("obj_qid", pa.array(oq, pa.string()))
+
+        linked = linked.map_batches(_apply_canon, batch_format="pyarrow")
+
     triples = materialize_triples(linked, threshold=threshold, out_dir=None)
     if checkpoint_dir:
         triples, _ = cp.stage("triples", {"threshold": threshold},
@@ -108,4 +145,12 @@ def run_kg_pipeline(
         triples.write_parquet(out_dir)
 
     info = {"model": model, "stages": cp.summary()}
+    if diagnostics:
+        from ..stages.evaluate import candidate_coverage
+        from ..stages.label_model import lf_stats
+        from ..stages.labeling import LFApplier
+
+        lf_names = LFApplier(None).lf_names
+        info["lf_stats"] = lf_stats(labeled, lf_names).to_pandas().to_dict("records")
+        info["coverage"] = candidate_coverage(labeled)
     return triples, info

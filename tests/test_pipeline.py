@@ -111,3 +111,15 @@ def test_canonicalize_connected_components(ray_session):
     assert out["acme corp"] == out["acme corporation"] == out["acme"] == "Q1"
     assert out["globex"] == "Q2"
     assert "unlinked thing" not in out.index  # unlinked stay out of the map
+
+
+def test_canonicalize_and_diagnostics_modes(ray_session, kb):
+    triples, info = run_kg_pipeline(pages_dataset(120, SEED), alias_table(kb),
+                                    kb["facts"], canonicalize=True,
+                                    diagnostics=True)
+    got = pa.Table.from_pandas(triples.to_pandas())
+    res = evaluate_triples(got, expected_triples(120, SEED))
+    assert res["precision"] >= 0.95 and res["recall"] >= 0.95
+    assert info["coverage"]["coverage"] > 0.9
+    names = [r["lf_name"] for r in info["lf_stats"]]
+    assert "lf_trigger" in names and "lf_negation" in names
