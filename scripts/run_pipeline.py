@@ -71,11 +71,19 @@ def main() -> int:
                          ft.column("obj_qid").to_pylist()))
 
     t0 = time.perf_counter()
+    # file-range sharding when the input is a directory of parquet
+    # files (each shard reads only its files); hash-shard fallback for
+    # a single file
+    input_paths = None
+    if os.path.isdir(args.input):
+        input_paths = [os.path.join(args.input, f)
+                       for f in sorted(os.listdir(args.input))
+                       if f.endswith(".parquet")] or None
     pages = rd.read_parquet(args.input)
     triples, report = run_kg_pipeline_sharded(
         pages, alias, facts, root=args.output, num_shards=args.shards,
         lang=args.lang, threshold=args.threshold,
-        input_fingerprint=str(args.input))
+        input_fingerprint=str(args.input), input_paths=input_paths)
     n = triples.count()
     wall = time.perf_counter() - t0
     skipped = sum(1 for m in report["shards"] if m["skipped"])

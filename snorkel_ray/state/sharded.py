@@ -32,8 +32,50 @@ from ..functions.ids import hash64
 from .checkpoint import CODE_VERSION, fingerprint
 
 
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import-stable under threads.
+
+    This env has fsspec without aiohttp, so that module raises
+    ModuleNotFoundError at import — which Ray's
+    ``_is_http_filesystem`` catches.  But when two driver THREADS race
+    the import, the loser sees the winner's partially-initialized
+    module in sys.modules and gets a bare ImportError ("cannot import
+    name HTTPFileSystem"), which Ray does NOT catch.  Pre-seeding a
+    stub module with a sentinel class (nothing is an instance of it →
+    the check stays False) removes the race entirely.
+    """
+    import sys as _sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = mod
+
+
+def shard_paths(paths: list[str], num_shards: int) -> list[list[str]]:
+    """File-range sharding: split a parquet file list into ``num_shards``
+    disjoint groups (round-robin for size balance).  THE scale path —
+    each shard reads only its own files.  Hash-sharding a Dataset
+    (``shard_pages``) re-scans the full input once per shard (measured
+    4x overhead at 8 shards) and exists for inputs that are not
+    file-splittable."""
+    groups: list[list[str]] = [[] for _ in range(num_shards)]
+    for i, p in enumerate(sorted(paths)):
+        groups[i % num_shards].append(p)
+    return [g for g in groups if g]
+
+
 def shard_pages(pages, num_shards: int):
-    """Deterministic url-hash shards: list of (shard_idx, Dataset)."""
+    """Deterministic url-hash shards: list of (shard_idx, Dataset).
+    Prefer ``shard_paths`` + per-shard ``read_parquet`` when the input
+    is a file list — this variant filters the WHOLE input per shard."""
 
     def _filter(shard: int):
         def _f(b: pa.Table) -> pa.Table:
@@ -59,17 +101,26 @@ def run_sharded_stage(
     num_shards: int,
     params: dict | None = None,
     input_fingerprint: str = "pages",
+    shards=None,
 ) -> tuple[list[str], list[dict]]:
     """Run ``build`` per shard with skip-on-manifest-match.
 
-    → (list of shard output dirs, per-shard manifest dicts).  Output
-    layout: ``<root>/<stage_name>/shard=<i>/part-*.parquet`` +
+    ``shards``: optional pre-built list of (shard_idx, Dataset) — e.g.
+    per-file-group reads from ``shard_paths`` (the scale path); when
+    None, falls back to hash-sharding ``pages`` (full re-scan per
+    shard).  → (list of shard output dirs, per-shard manifest dicts).
+    Output layout: ``<root>/<stage_name>/shard=<i>/part-*.parquet`` +
     ``_manifest.json``.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stabilize_fsspec_http()
     os.makedirs(os.path.join(root, stage_name), exist_ok=True)
-    dirs: list[str] = []
-    manifests: list[dict] = []
-    for shard, ds in shard_pages(pages, num_shards):
+    shard_list = list(shards if shards is not None
+                      else shard_pages(pages, num_shards))
+
+    def _run_one(item) -> tuple[str, dict]:
+        shard, ds = item
         fp = fingerprint(input_fingerprint, stage_name, shard, num_shards,
                          sorted((params or {}).items()), CODE_VERSION)
         final = os.path.join(root, stage_name, f"shard={shard}")
@@ -79,16 +130,19 @@ def run_sharded_stage(
                 m = json.load(f)
             if m.get("fingerprint") == fp:
                 m["skipped"] = True
-                dirs.append(final)
-                manifests.append(m)
-                continue
+                return final, m
             shutil.rmtree(final)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         t0 = time.perf_counter()
         out = build(ds)
-        out.write_parquet(tmp)
+        # explicit local filesystem: concurrent driver threads race
+        # pyarrow/fsspec filesystem inference (observed partial-import
+        # crash of fsspec.implementations.http under ThreadPoolExecutor)
+        from pyarrow.fs import LocalFileSystem
+
+        out.write_parquet(tmp, filesystem=LocalFileSystem())
         wall = time.perf_counter() - t0
 
         import pyarrow.parquet as pq
@@ -109,8 +163,15 @@ def run_sharded_stage(
         }
         with open(mpath, "w") as f:
             json.dump(m, f, indent=1)
-        dirs.append(final)
-        manifests.append(m)
+        return final, m
+
+    # a few shard pipelines in flight keeps the cluster busy through
+    # each shard's serial tail (fit/finalize); each runs in its own
+    # driver thread — Ray Datasets execute independently per thread
+    with ThreadPoolExecutor(max_workers=min(4, len(shard_list) or 1)) as ex:
+        results = list(ex.map(_run_one, shard_list))
+    dirs = [d for d, _ in results]
+    manifests = [m for _, m in results]
     return dirs, manifests
 
 
@@ -124,6 +185,7 @@ def run_kg_pipeline_sharded(
     lang: str = "en",
     threshold: float = 0.5,
     input_fingerprint: str = "pages",
+    input_paths: list[str] | None = None,
 ):
     """Shard-resumable flagship pipeline.
 
@@ -157,10 +219,18 @@ def run_kg_pipeline_sharded(
                                alias_ref),
             kb_ref)
 
+    shards = None
+    if input_paths is not None:
+        from pyarrow.fs import LocalFileSystem
+
+        groups = shard_paths(input_paths, num_shards)
+        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem()))
+                  for i, g in enumerate(groups)]
+
     dirs, manifests = run_sharded_stage(
         pages, root, "labeled", build, num_shards=num_shards,
         params={"lang": lang, "lfs": "kg_v1"},
-        input_fingerprint=input_fingerprint)
+        input_fingerprint=input_fingerprint, shards=shards)
 
     files = [os.path.join(d, f) for d in dirs
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
