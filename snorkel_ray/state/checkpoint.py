@@ -24,6 +24,27 @@ from dataclasses import dataclass, field
 CODE_VERSION = "2"  # bump to invalidate all checkpoints on semantic change
 
 
+def _ensure_parquet_dir(tmp: str, ds) -> None:
+    """``write_parquet`` of an EMPTY dataset writes nothing at all (not
+    even the directory) — a resumed run would then fail to read the
+    checkpoint.  Materialize an empty parquet file with the dataset's
+    schema (or a zero-column one when the schema is unknowable)."""
+    if os.path.exists(tmp) and any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        return
+    os.makedirs(tmp, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        base = getattr(s, "base_schema", None)
+        schema = base if isinstance(base, pa.Schema) else \
+            pa.schema(list(zip(s.names, s.types)))
+    except Exception:
+        schema = pa.schema([])
+    pq.write_table(schema.empty_table(), os.path.join(tmp, "empty.parquet"))
+
+
 def fingerprint(*parts: object) -> str:
     h = hashlib.blake2b(digest_size=16)
     for p in parts:
@@ -89,6 +110,7 @@ class CheckpointedPipeline:
         t0 = time.perf_counter()
         ds = build()
         ds.write_parquet(tmp)
+        _ensure_parquet_dir(tmp, ds)
         wall = time.perf_counter() - t0
         # count rows from written file metadata (cheap, no recompute)
         import pyarrow.parquet as pq

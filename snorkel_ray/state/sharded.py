@@ -142,7 +142,10 @@ def run_sharded_stage(
         # crash of fsspec.implementations.http under ThreadPoolExecutor)
         from pyarrow.fs import LocalFileSystem
 
+        from .checkpoint import _ensure_parquet_dir
+
         out.write_parquet(tmp, filesystem=LocalFileSystem())
+        _ensure_parquet_dir(tmp, out)
         wall = time.perf_counter() - t0
 
         import pyarrow.parquet as pq

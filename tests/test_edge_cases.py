@@ -1,0 +1,69 @@
+"""Edge-case hardening: empty corpora, empty dictionaries, all-filtered
+inputs — a 100 TB run will contain every degenerate slice."""
+
+import pyarrow as pa
+
+from snorkel_ray.pipelines.kg import run_kg_pipeline
+from snorkel_ray.synth import alias_table, build_kb, pages_dataset
+
+
+def _empty_alias():
+    return pa.table({"alias": pa.array([], pa.string()),
+                     "entity_qid": pa.array([], pa.string()),
+                     "prior": pa.array([], pa.float32())})
+
+
+def test_empty_alias_dict(ray_session):
+    kb = build_kb(42)
+    triples, _ = run_kg_pipeline(pages_dataset(30, 42), _empty_alias(), kb["facts"])
+    assert triples.count() == 0
+    # schema-stable empty result (Ray's to_pandas drops columns for
+    # empty datasets; the DATASET schema is the contract surface)
+    assert {"subj", "pred", "obj", "subj_qid", "obj_qid", "p"} <= \
+        set(triples.schema().names)
+
+
+def test_all_pages_filtered_by_lang(ray_session):
+    kb = build_kb(42)
+    triples, _ = run_kg_pipeline(pages_dataset(30, 42), alias_table(kb),
+                                 kb["facts"], lang="xx")  # matches nothing
+    assert triples.count() == 0
+
+
+def test_empty_corpus_with_checkpoint(ray_session, tmp_path):
+    kb = build_kb(42)
+    ckpt = str(tmp_path / "ckpt")
+    t1, i1 = run_kg_pipeline(pages_dataset(30, 42), alias_table(kb), kb["facts"],
+                             lang="xx", checkpoint_dir=ckpt)
+    assert t1.count() == 0
+    t2, i2 = run_kg_pipeline(pages_dataset(30, 42), alias_table(kb), kb["facts"],
+                             lang="xx", checkpoint_dir=ckpt)
+    assert t2.count() == 0
+    assert all(s["skipped"] for s in i2["stages"])
+
+
+def test_single_page_corpus(ray_session):
+    kb = build_kb(42)
+    triples, _ = run_kg_pipeline(pages_dataset(1, 42), alias_table(kb), kb["facts"])
+    assert triples.count() >= 0  # must simply not crash
+
+
+def test_unicode_heavy_pages(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.extract import extract_docs
+    from snorkel_ray.stages.sentences import split_docs_to_sentences
+
+    pages = pa.table({
+        "url": ["u1", "u2"],
+        "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+        "html": ["<p>中文测试 émojis 🎉 ümlaut.</p>".encode(),
+                 b"<p>\xff\xfe broken bytes</p>"],
+        "text": ["", ""],
+        "lang": ["en", "en"],
+    })
+    sents = split_docs_to_sentences(extract_docs(rd.from_arrow(pages))).to_pandas()
+    assert len(sents) >= 1
+    for _, r in sents.iterrows():
+        for w, o in zip(r["words"], r["char_offsets"]):
+            assert r["text"][o : o + len(w)] == w
