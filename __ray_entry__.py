@@ -94,6 +94,26 @@ def _read(sf_dir: str, table: str, columns=None):
 
 # --- aggregations -----------------------------------------------------------
 
+def _round_cols(ds, spec: dict[str, int]):
+    """Round float columns to fixed decimals — applied identically on
+    the Ray side and in oracle_sql() so value hashes are bitwise-equal
+    despite accumulation-order ulp drift (round-1 verdict item 1)."""
+
+    def _r(b: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            i = b.schema.get_field_index(col)
+            # Python round() is correctly rounded to the nearest double
+            # of the decimal (pc.round leaves ulp residue like
+            # 741376803.3100001); these are tiny grouped finals, so the
+            # per-value loop is off the hot path.
+            vals = [None if v is None else round(v, nd)
+                    for v in b.column(col).to_pylist()]
+            b = b.set_column(i, col, pa.array(vals, pa.float64()))
+        return b
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
 def q_doc_count_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -123,6 +143,7 @@ def q_lineitem_agg(sf_dir: str):
                       Sum("revenue", alias_name="sum_revenue"),
                       Mean("l_discount", alias_name="avg_disc"),
                       Count(alias_name="n_rows")))
+    out = _round_cols(out, {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 6})
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
@@ -145,7 +166,7 @@ def q_customer_order_join(sf_dir: str):
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
-    return out.sort("c_mktsegment")
+    return _round_cols(out, {"total_price": 2}).sort("c_mktsegment")
 
 
 def q_broadcast_join_nation_region(sf_dir: str):
@@ -232,7 +253,7 @@ def q_events_json_extract(sf_dir: str):
     out = (ds.map_batches(_extract, batch_format="pyarrow")
            .groupby("event_type")
            .aggregate(Mean("k", alias_name="avg_k"), Count(alias_name="n_events")))
-    return out.sort("event_type")
+    return _round_cols(out, {"avg_k": 6}).sort("event_type")
 
 
 def q_events_daily_counts(sf_dir: str):
@@ -248,7 +269,7 @@ def q_events_daily_counts(sf_dir: str):
     out = (ds.map_batches(_day, batch_format="pyarrow")
            .groupby("day").aggregate(Count(alias_name="n_events"),
                                      Sum("value", alias_name="sum_value")))
-    return out.sort("day")
+    return _round_cols(out, {"sum_value": 4}).sort("day")
 
 
 def q_user_session_counts(sf_dir: str):
@@ -280,18 +301,25 @@ def q_user_daily_windows(sf_dir: str):
 
 
 def q_order_price_quantiles(sf_dir: str):
-    """Median order price by priority (Quantile aggregate)."""
-    from ray.data.aggregate import Quantile
+    """Exact median order price by priority: groupby + per-group numpy
+    median (interpolates the two middle values on even counts, matching
+    DuckDB ``median``; Ray's ``Quantile`` aggregate uses a different
+    interpolation — round-1 verdict).  Per-group values must fit one
+    reducer — fine for a low-cardinality key; use the approximate
+    ``Quantile`` aggregate when groups are huge."""
+    import pandas as pd
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    out = ds.groupby("o_orderpriority").aggregate(
-        Quantile("o_totalprice", q=0.5, alias_name="median_price"))
 
-    def _round(b: pa.Table) -> pa.Table:
-        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
-                         "median_price": pc.round(b.column("median_price"), 2)})
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "median_price": [round(float(np.median(g["o_totalprice"])), 2)],
+        })
 
-    return out.map_batches(_round, batch_format="pyarrow").sort("o_orderpriority")
+    return (ds.groupby("o_orderpriority")
+            .map_groups(_median, batch_format="pandas")
+            .sort("o_orderpriority"))
 
 
 def q_approx_distinct_users(sf_dir: str):
@@ -554,13 +582,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_count_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang""",
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
-                   avg(l_discount) AS avg_disc,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
@@ -569,7 +598,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
         "customer_order_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(o_totalprice) AS total_price
+                   round(sum(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "broadcast_join_nation_region": """
@@ -585,12 +614,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT text) AS n_unique FROM documents""",
         "events_json_extract": """
             SELECT event_type,
-                   avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                     AS avg_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type""",
         "events_daily_counts": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
-                   sum(value) AS sum_value
+                   round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1 ORDER BY day""",
         "user_session_counts": """
             SELECT user_id, count(*) AS n_sessions FROM (
@@ -603,7 +633,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE new_session = 1 GROUP BY user_id ORDER BY user_id""",
         "user_daily_windows": """
             SELECT user_id, count(*) AS n_days_active,
-                   sum(n) AS total_events FROM (
+                   CAST(sum(n) AS BIGINT) AS total_events FROM (
               SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n
               FROM events GROUP BY user_id, date_trunc('day', ts)
             ) GROUP BY user_id ORDER BY user_id""",
@@ -612,7 +642,8 @@ def oracle_sql() -> dict[str, str]:
                    round(median(o_totalprice), 2) AS median_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "token_counts": """
-            SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens
+            SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang""",
         "mention_counts": """
             WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -621,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
                         'stream','table','row','batch','filter')
             GROUP BY w ORDER BY alias""",
         "lf_keyword_coverage": """
-            SELECT lf_name, n_fired FROM (
+            SELECT lf_name, CAST(n_fired AS BIGINT) AS n_fired FROM (
               SELECT 'lf_contains_spark' AS lf_name,
                      sum(CASE WHEN list_contains(string_split(text,' '), 'spark')
                          THEN 1 ELSE 0 END) AS n_fired FROM documents
