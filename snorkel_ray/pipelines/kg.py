@@ -142,7 +142,9 @@ def run_kg_pipeline(
         triples, _ = cp.stage("triples", {"threshold": threshold},
                               lambda: triples, prev_fp=fp2)
     if out_dir is not None:
-        triples.write_parquet(out_dir)
+        from ..state.checkpoint import atomic_write_parquet
+
+        triples = atomic_write_parquet(triples, out_dir)
 
     info = {"model": model, "stages": cp.summary()}
     if diagnostics:

@@ -197,7 +197,9 @@ _EXTRACTOR_CACHE: dict = {}
 
 
 def _cache_key(ref) -> str:
-    return ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    from ..state.resources import broadcast_key
+
+    return broadcast_key(ref)
 
 
 def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
@@ -211,9 +213,10 @@ def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,
         key = (_cache_key(alias_ref), max_gap, cooccur_pred, cooccur_gap, both_orders)
 
         def _extract(batch: pa.Table) -> pa.Table:
-            inst = _EXTRACTOR_CACHE.get(key)
-            if inst is None:
-                inst = _EXTRACTOR_CACHE[key] = CandidateExtractor(alias_ref, **kwargs)
+            from ..state.resources import cache_get_or_build
+
+            inst = cache_get_or_build(_EXTRACTOR_CACHE, key,
+                                      lambda: CandidateExtractor(alias_ref, **kwargs))
             return inst(batch)
 
         return sentences.map_batches(_extract, batch_format="pyarrow",

@@ -30,12 +30,16 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
 def add_content_hash(ds, column: str, out: str = "content_hash"):
-    """Vectorized 64-bit content hash column (first 16 hex chars of
-    sha256 — stable across runs/processes, unlike Python hash())."""
+    """128-bit content hash column (full blake2b-16, stable across
+    runs/processes unlike Python hash()).  128 bits because at the
+    design-target 10^12 documents a 64-bit key expects ~10^4 birthday
+    collisions, each silently dropping a distinct document (round-1
+    ADVICE); 128 bits puts the expectation at ~10^-14."""
 
     def _hash(batch: pa.Table) -> pa.Table:
         vals = batch.column(column).to_pylist()
-        hs = [hashlib.sha256(v.encode() if isinstance(v, str) else bytes(v)).hexdigest()[:16]
+        hs = [hashlib.blake2b(v.encode() if isinstance(v, str) else bytes(v),
+                              digest_size=16).hexdigest()
               for v in vals]
         return batch.append_column(out, pa.array(hs, pa.string()))
 

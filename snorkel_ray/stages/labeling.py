@@ -185,12 +185,14 @@ def apply_lfs(candidates, kb_ref=None, *, batch_size: int | None = None, concurr
     LFApplier cache (light state — compiled LF set + broadcast KB dict);
     pass ``as_tasks=False`` for an explicit actor pool."""
     if as_tasks:
-        key = kb_ref.hex() if hasattr(kb_ref, "hex") else str(id(kb_ref))
+        from ..state.resources import broadcast_key
+
+        key = broadcast_key(kb_ref)
 
         def _apply(batch: pa.Table) -> pa.Table:
-            inst = _APPLIER_CACHE.get(key)
-            if inst is None:
-                inst = _APPLIER_CACHE[key] = LFApplier(kb_ref)
+            from ..state.resources import cache_get_or_build
+
+            inst = cache_get_or_build(_APPLIER_CACHE, key, lambda: LFApplier(kb_ref))
             return inst(batch)
 
         return candidates.map_batches(_apply, batch_format="pyarrow",

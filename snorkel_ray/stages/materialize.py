@@ -45,12 +45,14 @@ def link_candidates(scored, alias_ref, *, concurrency=None, batch_size: int | No
     Default: elastic tasks with a per-worker-process linker cache (the
     alias link index is small); ``as_tasks=False`` for an actor pool."""
     if as_tasks:
-        key = alias_ref.hex() if hasattr(alias_ref, "hex") else str(id(alias_ref))
+        from ..state.resources import broadcast_key
+
+        key = broadcast_key(alias_ref)
 
         def _link(batch: pa.Table) -> pa.Table:
-            inst = _LINKER_CACHE.get(key)
-            if inst is None:
-                inst = _LINKER_CACHE[key] = _BothLinker(alias_ref)
+            from ..state.resources import cache_get_or_build
+
+            inst = cache_get_or_build(_LINKER_CACHE, key, lambda: _BothLinker(alias_ref))
             return inst(batch)
 
         return scored.map_batches(_link, batch_format="pyarrow",
@@ -149,7 +151,9 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
                                                           batch_format="pandas")
         out = deduped.sort(TRIPLE_KEY)
     if out_dir is not None:
-        out.write_parquet(out_dir)
+        from ..state.checkpoint import atomic_write_parquet
+
+        out = atomic_write_parquet(out, out_dir)
     return out
 
 

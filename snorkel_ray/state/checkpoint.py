@@ -21,7 +21,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-CODE_VERSION = "2"  # bump to invalidate all checkpoints on semantic change
+CODE_VERSION = "3"  # bump to invalidate all checkpoints on semantic change
 
 
 def _ensure_parquet_dir(tmp: str, ds) -> None:
@@ -43,6 +43,26 @@ def _ensure_parquet_dir(tmp: str, ds) -> None:
     except Exception:
         schema = pa.schema([])
     pq.write_table(schema.empty_table(), os.path.join(tmp, "empty.parquet"))
+
+
+def atomic_write_parquet(ds, out_dir: str):
+    """Overwrite-safe parquet write: data lands in ``<out_dir>.tmp`` and
+    replaces the final dir in one rename.  ``write_parquet`` alone uses
+    per-run unique filenames, so writing twice to the same dir APPENDS a
+    full duplicate part-file set — a resumed/repeated run would silently
+    double the persisted artifact (round-1 ADVICE, verified on ray
+    2.49.2).  Returns a Dataset re-opened from the final dir."""
+    import ray.data as rd
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+    _ensure_parquet_dir(tmp, ds)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return rd.read_parquet(out_dir)
 
 
 def fingerprint(*parts: object) -> str:

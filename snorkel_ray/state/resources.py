@@ -10,6 +10,53 @@ gets at most ``frac`` of session CPUs, min 1, and pools always leave
 
 from __future__ import annotations
 
+_CACHE_CAP = 4
+
+
+def broadcast_key(obj) -> str:
+    """Stable cache key for a broadcast object held in a worker-process
+    instance cache.  ObjectRefs key by their (globally unique) hex; bare
+    objects key by a CONTENT fingerprint — ``id()`` values are reused
+    after GC, so two different alias tables could collide on a
+    long-lived worker and serve a stale compiled state (round-1 ADVICE).
+    Broadcast payloads here are small (alias dicts, KB fact lists), so
+    hashing them is cheap relative to the state build they gate."""
+    import hashlib
+
+    if obj is None:
+        return "none"
+    if hasattr(obj, "hex"):  # ray.ObjectRef
+        return obj.hex()
+    h = hashlib.blake2b(digest_size=16)
+    try:
+        import pyarrow as pa
+
+        if isinstance(obj, pa.Table):
+            h.update(str(obj.schema).encode())
+            for batch in obj.to_batches():
+                for col in batch.columns:
+                    for buf in col.buffers():
+                        if buf is not None:
+                            h.update(buf)
+            return "pa:" + h.hexdigest()
+    except ImportError:
+        pass
+    h.update(repr(obj).encode())
+    return "py:" + h.hexdigest()
+
+
+def cache_get_or_build(cache: dict, key, build):
+    """Bounded per-worker-process instance cache: evict everything when
+    a new key would exceed the cap (pipelines reuse one broadcast per
+    stage, so the working set is tiny; unbounded growth across many
+    pipelines on a long-lived worker is the failure mode)."""
+    inst = cache.get(key)
+    if inst is None:
+        if len(cache) >= _CACHE_CAP:
+            cache.clear()
+        inst = cache[key] = build()
+    return inst
+
 
 def pool_concurrency(frac: float = 0.25) -> tuple[int, int]:
     """(min, max) actor-pool size for one stage: max = frac × session

@@ -72,6 +72,20 @@ def shard_paths(paths: list[str], num_shards: int) -> list[list[str]]:
     return [g for g in groups if g]
 
 
+def shard_input_token(paths: list[str]) -> str:
+    """Lineage token for one shard's file group: sorted paths + size +
+    mtime_ns per file.  Folded into the shard fingerprint so manifest
+    skip-on-match is keyed to the files actually assigned to the shard."""
+    parts = []
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{p}:missing")
+    return fingerprint(*parts)
+
+
 def shard_pages(pages, num_shards: int):
     """Deterministic url-hash shards: list of (shard_idx, Dataset).
     Prefer ``shard_paths`` + per-shard ``read_parquet`` when the input
@@ -120,9 +134,17 @@ def run_sharded_stage(
                       else shard_pages(pages, num_shards))
 
     def _run_one(item) -> tuple[str, dict]:
-        shard, ds = item
+        # shards may be (idx, ds) or (idx, ds, input_token); the token
+        # (the shard's actual file group + sizes/mtimes, see
+        # shard_input_token) folds into the fingerprint so that adding/
+        # removing an input file — which shifts the round-robin file
+        # assignment — invalidates every shard whose file group changed
+        # instead of silently matching a stale manifest (round-1 ADVICE).
+        shard, ds = item[0], item[1]
+        shard_token = item[2] if len(item) > 2 else None
         fp = fingerprint(input_fingerprint, stage_name, shard, num_shards,
-                         sorted((params or {}).items()), CODE_VERSION)
+                         sorted((params or {}).items()), CODE_VERSION,
+                         shard_token)
         final = os.path.join(root, stage_name, f"shard={shard}")
         mpath = os.path.join(final, "_manifest.json")
         if os.path.exists(mpath):
@@ -152,6 +174,11 @@ def run_sharded_stage(
 
         rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
                    for f in os.listdir(tmp) if f.endswith(".parquet"))
+        # a run killed between the rename and the manifest write leaves
+        # `final` without _manifest.json; os.replace onto a non-empty
+        # dir raises ENOTEMPTY — clear it first (mirrors checkpoint.py)
+        if os.path.exists(final):
+            shutil.rmtree(final)
         os.replace(tmp, final)
         m = {
             "fingerprint": fp,
@@ -227,7 +254,8 @@ def run_kg_pipeline_sharded(
         from pyarrow.fs import LocalFileSystem
 
         groups = shard_paths(input_paths, num_shards)
-        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem()))
+        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem()),
+                   shard_input_token(g))
                   for i, g in enumerate(groups)]
 
     dirs, manifests = run_sharded_stage(
@@ -241,6 +269,9 @@ def run_kg_pipeline_sharded(
     model = fit_label_model(pattern_counts(labeled))
     scored = score_marginals(labeled, model)
     linked = link_candidates(scored, alias_ref)
+    # materialize_triples writes out_dir atomically (tmp + os.replace),
+    # so a rerun REPLACES the persisted triples instead of appending a
+    # duplicate part-file set (round-1 ADVICE, high)
     triples = materialize_triples(linked, threshold=threshold,
                                   out_dir=os.path.join(root, "triples"))
     return triples, {"model": model, "shards": manifests}

@@ -54,3 +54,76 @@ def test_sharded_pipeline_and_resume(ray_session, tmp_path):
                     for c in ("subj_qid", "pred", "obj_qid"))))
     assert len(got & exp) / max(len(exp), 1) >= 0.95
     assert len(got & exp) / max(len(got), 1) >= 0.95
+
+
+def test_triples_outdir_rerun_overwrites_not_appends(ray_session, tmp_path):
+    """Round-1 ADVICE (high): write_parquet uses per-run unique
+    filenames, so a naive second write to the same out_dir APPENDS a
+    duplicate part-file set.  materialize_triples must replace."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from snorkel_ray.stages.materialize import materialize_triples
+
+    rows = [{"pred": "rel", "subj_text": "S", "obj_text": "O",
+             "subj_qid": f"Q{i % 5}", "obj_qid": f"R{i % 5}", "p": 0.9,
+             "url": f"u{i}", "sent_stable_id": f"s{i}"} for i in range(50)]
+    out_dir = str(tmp_path / "triples")
+    for _ in range(2):
+        materialize_triples(rd.from_items(rows), threshold=0.5, out_dir=out_dir)
+    on_disk = pq.read_table(out_dir)
+    assert on_disk.num_rows == 5  # 5 distinct triple keys, no duplicates
+
+
+def test_sharded_recovers_from_manifestless_final_dir(ray_session, tmp_path):
+    """Round-1 ADVICE (medium): a run killed between os.replace and the
+    manifest write leaves shard=i without _manifest.json; the rerun must
+    recompute it instead of crashing with ENOTEMPTY."""
+    kb = build_kb(42)
+    root = str(tmp_path / "sharded2")
+    args = (pages_dataset(60, 42), alias_table(kb), kb["facts"])
+
+    t1, _ = run_kg_pipeline_sharded(*args, root=root, num_shards=2)
+    df1 = t1.to_pandas()
+    # simulate the kill: drop the manifest but keep the data files
+    os.remove(os.path.join(root, "labeled", "shard=0", "_manifest.json"))
+    t2, r2 = run_kg_pipeline_sharded(*args, root=root, num_shards=2)
+    flags = {m["shard"]: m["skipped"] for m in r2["shards"]}
+    assert flags == {0: False, 1: True}
+    assert t2.to_pandas().equals(df1)
+
+
+def test_shard_fingerprint_tracks_file_group(ray_session, tmp_path):
+    """Round-1 ADVICE (medium): with file-range sharding, changing the
+    input file list shifts the round-robin assignment; manifests keyed
+    only on (stage, idx, params) would silently skip stale shards."""
+    import pyarrow.parquet as pq
+
+    from snorkel_ray.state.sharded import run_sharded_stage, shard_paths, \
+        shard_input_token
+    import ray.data as rd
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"x": [i] * 10}), str(d / f"f{i}.parquet"))
+
+    def build(ds):
+        return ds
+
+    def run(paths):
+        groups = shard_paths(paths, 2)
+        shards = [(i, rd.read_parquet(g), shard_input_token(g))
+                  for i, g in enumerate(groups)]
+        return run_sharded_stage(None, str(tmp_path / "out"), "s", build,
+                                 num_shards=2, shards=shards)
+
+    paths = [str(d / f"f{i}.parquet") for i in range(4)]
+    _, m1 = run(paths)
+    assert all(not m["skipped"] for m in m1)
+    # same file list -> all skip
+    _, m2 = run(paths)
+    assert all(m["skipped"] for m in m2)
+    # drop one file -> round-robin shifts -> affected shards recompute
+    _, m3 = run(paths[:3])
+    assert any(not m["skipped"] for m in m3)
