@@ -123,19 +123,33 @@ def run_kg_pipeline(
             })
 
         cmap = canonical_entity_map(
-            linked.map_batches(_edges_view, batch_format="pyarrow")).to_pandas()
-        canon = dict(zip(cmap["entity_key"], cmap["canonical_id"]))
+            linked.map_batches(_edges_view, batch_format="pyarrow")).materialize()
 
-        def _apply_canon(b: pa.Table) -> pa.Table:
-            sq = [canon.get(k, q) for k, q in zip(b.column("subj_key").to_pylist(),
-                                                  b.column("subj_qid").to_pylist())]
-            oq = [canon.get(k, q) for k, q in zip(b.column("obj_key").to_pylist(),
-                                                  b.column("obj_qid").to_pylist())]
-            b = b.drop_columns(["subj_qid", "obj_qid"])
-            b = b.append_column("subj_qid", pa.array(sq, pa.string()))
-            return b.append_column("obj_qid", pa.array(oq, pa.string()))
+        # apply the canonical map WITHOUT a driver dict proportional to
+        # distinct entity keys (round-1 verdict item 6): apply_mapping
+        # broadcasts the map through the object store when it fits and
+        # falls back to a hash join when it doesn't; the vectorized
+        # pandas .map replaces the old row-at-a-time substitution.
+        from ..stages.joins import apply_mapping
 
-        linked = linked.map_batches(_apply_canon, batch_format="pyarrow")
+        def _swap(col_old: str, col_new: str):
+            def _f(b: pa.Table) -> pa.Table:
+                i = b.schema.get_field_index(col_old)
+                b = b.set_column(i, col_old, b.column(col_new))
+                return b.drop_columns([col_new])
+
+            return _f
+
+        linked = apply_mapping(linked, cmap, "subj_key", "entity_key",
+                               "canonical_id", "_subj_canon",
+                               default_col="subj_qid")
+        linked = linked.map_batches(_swap("subj_qid", "_subj_canon"),
+                                    batch_format="pyarrow")
+        linked = apply_mapping(linked, cmap, "obj_key", "entity_key",
+                               "canonical_id", "_obj_canon",
+                               default_col="obj_qid")
+        linked = linked.map_batches(_swap("obj_qid", "_obj_canon"),
+                                    batch_format="pyarrow")
 
     triples = materialize_triples(linked, threshold=threshold, out_dir=None)
     if checkpoint_dir:

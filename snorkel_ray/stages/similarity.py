@@ -67,9 +67,18 @@ def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
 
 def fit_centroids(ds, *, vec_column: str = "embedding", n_centroids: int = 16,
                   sample_rows: int = 2048, n_iter: int = 10, seed: int = 11) -> np.ndarray:
-    """Seeded Lloyd iterations on a driver-side sample (numpy; the
-    sample is small by construction — this is the index-build step)."""
-    sample = ds.limit(sample_rows).to_pandas()[vec_column]
+    """Seeded Lloyd iterations on a driver-side RANDOM sample (numpy;
+    the sample is small by construction — this is the index-build
+    step).  ``random_sample``, not ``limit``: a prefix of clustered or
+    sorted input covers one region of the space and yields degenerate
+    centroids (round-1 verdict item 7).  ``count()`` on a parquet read
+    is metadata-only."""
+    n = ds.count()
+    frac = min(1.0, (sample_rows * 1.25) / max(n, 1))
+    sample = (ds.random_sample(frac, seed=seed).limit(sample_rows)
+              .to_pandas()[vec_column])
+    if len(sample) < min(n, n_centroids):  # pathological under-sample
+        sample = ds.limit(sample_rows).to_pandas()[vec_column]
     X = _norm(np.stack(sample.to_numpy()).astype(np.float32))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]

@@ -24,10 +24,20 @@ import pyarrow as pa
 from ..functions.ids import hash64
 
 
-def detect_hot_keys(ds, key: str, *, sample_rows: int = 20_000,
-                    hot_fraction: float = 0.01) -> set:
-    """Driver-side sample → keys exceeding ``hot_fraction`` of rows."""
-    sample = ds.limit(sample_rows).to_pandas()[key]
+def detect_hot_keys(ds, key: str, *, sample_fraction: float = 0.05,
+                    sample_cap: int = 100_000,
+                    hot_fraction: float = 0.01, seed: int = 23) -> set:
+    """Driver-side RANDOM sample → keys exceeding ``hot_fraction`` of
+    sampled rows.  ``random_sample``, not ``limit``: a prefix of input
+    sorted/clustered by key sees only the first keys and misses hot
+    keys living later in the stream (round-1 verdict item 7).  The
+    fixed fraction needs no ``count()`` pass; ``sample_cap`` bounds
+    driver memory.  A missed hot key still aggregates correctly —
+    just unsalted."""
+    sample = (ds.select_columns([key]).random_sample(sample_fraction, seed=seed)
+              .limit(sample_cap).to_pandas()[key])
+    if len(sample) < 1000:  # tiny input: sampling noise dominates — scan it all
+        sample = ds.select_columns([key]).limit(sample_cap).to_pandas()[key]
     counts = sample.value_counts()
     return set(counts[counts / max(len(sample), 1) > hot_fraction].index)
 

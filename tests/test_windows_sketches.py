@@ -60,3 +60,93 @@ def test_hll_accuracy(ray_session):
     assert np.array_equal(a.merge(b).registers, one.registers)
     # serialize round-trip
     assert np.array_equal(HLL.deserialize(a.serialize()).registers, a.registers)
+
+
+def test_session_presplit_matches_plain(ray_session):
+    """Chunked (hot-key-safe) sessionize must equal the single-group
+    plan exactly — including sessions spanning chunk boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.windows import session_windows
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid in range(5):
+        t = base
+        for _ in range(300):
+            # mix of intra-session gaps (<30min) and session breaks,
+            # some gaps straddling midnight chunk boundaries
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 90)))
+            rows.append({"user_id": uid, "ts": t})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    plain = session_windows(ds, gap="30min").to_pandas()
+    chunked = session_windows(ds, gap="30min", pre_split_chunk="1D").to_pandas()
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    a = plain[key].sort_values(key).reset_index(drop=True)
+    b = chunked[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tumbling_hot_key_no_single_group(ray_session):
+    """One key owning 10^5 events: tumbling windows never form a
+    per-key group (vectorized window assignment + hash agg), so the
+    celebrity key cannot OOM a reducer (round-1 verdict item 9)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.windows import tumbling_window_counts
+
+    n = 100_000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.arange(n) * 90, unit="s")  # ~104 days of one hot user
+    df = pd.DataFrame({"user_id": np.zeros(n, np.int64), "ts": ts,
+                       "value": np.ones(n)})
+    out = tumbling_window_counts(rd.from_pandas(df).repartition(8),
+                                 width="1D").to_pandas()
+    assert out["n_events"].sum() == n
+    assert (out["n_events"] <= 24 * 40 + 1).all()  # bounded per window
+
+
+def test_fit_centroids_survives_sorted_input(ray_session):
+    """Input sorted by cluster: a prefix 'sample' would see one cluster
+    only; random_sample must recover all three (round-1 verdict item 7)."""
+    import numpy as np
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import fit_centroids
+
+    rng = np.random.default_rng(0)
+    centers = np.eye(3, 16, dtype=np.float32) * 10
+    rows = []
+    for c in range(3):  # SORTED by cluster: all of c=0 first
+        for _ in range(3000):
+            rows.append({"embedding": (centers[c] +
+                                       rng.normal(0, .1, 16)).astype(np.float32).tolist()})
+    ds = rd.from_items(rows).repartition(8)
+    C = fit_centroids(ds, n_centroids=3, sample_rows=512)
+    # every true center must have a learned centroid nearby (cosine > .9)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for c in range(3):
+        t = centers[c] / np.linalg.norm(centers[c])
+        assert (Cn @ t).max() > 0.9, f"cluster {c} not represented"
+
+
+def test_detect_hot_keys_survives_sorted_input(ray_session):
+    """Hot key living at the END of a key-sorted input must still be
+    detected (a prefix sample would miss it entirely)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from snorkel_ray.stages.skew import detect_hot_keys
+
+    cold = [f"cold_{i}" for i in range(30_000)]          # unique, first
+    hot = ["zzz_hot"] * 10_000                            # 25%, last
+    ds = rd.from_arrow(pa.table({"k": cold + hot})).repartition(8)
+    keys = detect_hot_keys(ds, "k", hot_fraction=0.05)
+    assert "zzz_hot" in keys
