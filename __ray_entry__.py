@@ -403,6 +403,40 @@ def q_lf_keyword_coverage(sf_dir: str):
             .sort("lf_name"))
 
 
+def q_categorical_label_argmax(sf_dir: str):
+    """Categorical (k=3) label model end-to-end: three mutually
+    exclusive LFs vote classes 1..3 by n_chars range (exactly one fires
+    per doc), pattern-count stats → driver EM → broadcast scoring →
+    argmax class counts.  With disjoint deterministic LFs the posterior
+    argmax provably equals the fired class, which makes the whole
+    categorical pipeline (SURVEY.md A4 categorical variant)
+    SQL-checkable."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.label_model import (fit_label_model_cat,
+                                                pattern_counts_cat,
+                                                score_marginals_cat)
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def _lfs(b: pa.Table) -> pa.Table:
+        nc = np.asarray(b.column("n_chars"))
+        n = len(nc)
+        L = np.zeros((n, 3), dtype=np.int8)
+        L[nc < 250, 0] = 1
+        L[(nc >= 250) & (nc < 350), 1] = 2
+        L[nc >= 350, 2] = 3
+        off = pa.array(np.arange(0, (n + 1) * 3, 3, dtype=np.int32))
+        return pa.table({"L": pa.ListArray.from_arrays(
+            off, pa.array(L.reshape(-1), pa.int8()))})
+
+    labeled = ds.map_batches(_lfs, batch_format="pyarrow").materialize()
+    model = fit_label_model_cat(pattern_counts_cat(labeled), cardinality=3)
+    scored = score_marginals_cat(labeled, model)
+    return (scored.groupby("y_hat").aggregate(Count(alias_name="n_docs"))
+            .sort("y_hat"))
+
+
 # --- embeddings / similarity ------------------------------------------------
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -567,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
         "lf_keyword_coverage": q_lf_keyword_coverage,
+        "categorical_label_argmax": q_categorical_label_argmax,
         "union_distinct_orders": q_union_distinct_orders,
         "word_count_salted": q_word_count_salted,
         "sentence_split_counts": q_sentence_split_counts,
@@ -665,6 +700,11 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN list_contains(string_split(text,' '), 'stream')
                          THEN 1 ELSE 0 END) FROM documents
             ) ORDER BY lf_name""",
+        "categorical_label_argmax": """
+            SELECT CASE WHEN n_chars < 250 THEN 1
+                        WHEN n_chars < 350 THEN 2 ELSE 3 END AS y_hat,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY y_hat""",
         "union_distinct_orders": """
             SELECT count(DISTINCT o_orderkey) AS n_distinct FROM (
               SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)

@@ -27,7 +27,12 @@ from typing import Callable, Iterable, Iterator
 
 @dataclass(frozen=True)
 class Span:
-    """In-memory span over one sentence (reference ``TemporarySpan``)."""
+    """In-memory span over one sentence (reference ``TemporarySpan``).
+
+    ``pos_tags`` / ``ner_tags`` are the token-aligned annotation arrays
+    of the reference Sentence model (``snorkel/models/context.py``
+    ≈L100–220), present when a tagger stage populated them
+    (stages/pretagged.py::add_token_tags); ``None`` otherwise."""
 
     words: tuple[str, ...]
     char_start: int  # sentence-relative, inclusive
@@ -35,14 +40,23 @@ class Span:
     word_start: int
     word_end: int  # inclusive
     text: str
+    pos_tags: tuple[str, ...] | None = None
+    ner_tags: tuple[str, ...] | None = None
 
     def get_span(self) -> str:
         return self.text
 
     def get_attrib_tokens(self, attrib: str = "words") -> tuple[str, ...]:
-        if attrib != "words":
-            raise KeyError(f"attrib {attrib!r} not materialized in rule-parser mode")
-        return self.words
+        if attrib == "words":
+            return self.words
+        if attrib in ("pos_tags", "ner_tags"):
+            tags = getattr(self, attrib)
+            if tags is None:
+                raise KeyError(
+                    f"attrib {attrib!r} not populated — run a tagger stage "
+                    "(stages.pretagged.add_token_tags) before matching on it")
+            return tags
+        raise KeyError(f"unknown attrib {attrib!r}")
 
     def __len__(self) -> int:
         return self.word_end - self.word_start + 1
@@ -59,14 +73,20 @@ class Ngrams:
         self.n_max = n_max
         self.split_tokens = split_tokens
 
-    def __call__(self, words: list[str], offsets: list[int], sent_text: str) -> Iterator[Span]:
+    def __call__(self, words: list[str], offsets: list[int], sent_text: str,
+                 pos_tags: list[str] | None = None,
+                 ner_tags: list[str] | None = None) -> Iterator[Span]:
         L = len(words)
+        pt = tuple(pos_tags) if pos_tags is not None else None
+        nt = tuple(ner_tags) if ner_tags is not None else None
         for i in range(L):
             for n in range(1, min(self.n_max, L - i) + 1):
                 j = i + n - 1
                 cs = offsets[i]
                 ce = offsets[j] + len(words[j])
-                yield Span(tuple(words[i : j + 1]), cs, ce, i, j, sent_text[cs:ce])
+                yield Span(tuple(words[i : j + 1]), cs, ce, i, j, sent_text[cs:ce],
+                           pt[i : j + 1] if pt else None,
+                           nt[i : j + 1] if nt else None)
             # split-token sub-spans of the unigram
             w = words[i]
             for st in self.split_tokens:
@@ -75,7 +95,9 @@ class Ngrams:
                     for part in w.split(st):
                         if part:
                             cs = offsets[i] + pos
-                            yield Span((part,), cs, cs + len(part), i, i, part)
+                            yield Span((part,), cs, cs + len(part), i, i, part,
+                                       pt[i : i + 1] if pt else None,
+                                       nt[i : i + 1] if nt else None)
                         pos += len(part) + len(st)
 
 
@@ -112,20 +134,57 @@ class Matcher:
         return out
 
 
+def porter_lite_stem(word: str) -> str:
+    """Deterministic suffix stemmer (Porter-style step-1 rules; no
+    nltk in this env).  Enough for the DictionaryMatch stemmer option's
+    purpose — folding inflected surface forms onto dictionary entries:
+    cats→cat, stories→stori, running→run, caused→caus."""
+    w = word
+    if len(w) > 4 and w.endswith("sses"):
+        w = w[:-2]
+    elif len(w) > 3 and w.endswith("ies"):
+        w = w[:-2]
+    elif len(w) > 2 and w.endswith("s") and not w.endswith("ss") and not w.endswith("us"):
+        w = w[:-1]
+    for suf in ("ingly", "edly", "ing", "ed"):
+        if len(w) > len(suf) + 2 and w.endswith(suf):
+            w = w[: -len(suf)]
+            if len(w) > 2 and w[-1] == w[-2] and w[-1] not in "lsz":
+                w = w[:-1]  # running -> runn -> run
+            break
+    if len(w) > 3 and w.endswith("e"):
+        w = w[:-1]  # cause -> caus (aligns with caused -> caus)
+    return w
+
+
 class DictionaryMatch(Matcher):
-    """Span text ∈ dictionary (reference ≈L80–150). The dict is expected
-    to be a broadcast small side (``ray.put`` once; SURVEY.md J4/T2)."""
+    """Span text ∈ dictionary (reference ≈L80–150, including its
+    ``stemmer`` option: both the dictionary entries and the span text
+    are stemmed before lookup).  The dict is expected to be a broadcast
+    small side (``ray.put`` once; SURVEY.md J4/T2).
+
+    ``stemmer``: None, "porter" (built-in suffix stemmer) or a callable
+    ``str -> str``."""
 
     def __init__(self, d: Iterable[str], ignore_case: bool = True, inverse: bool = False,
-                 longest_match_only: bool = True):
+                 longest_match_only: bool = True, stemmer=None):
         super().__init__(longest_match_only=longest_match_only)
         self.ignore_case = ignore_case
         self.inverse = inverse
-        self.d = frozenset(w.casefold() if ignore_case else w for w in d)
+        if stemmer == "porter":
+            stemmer = porter_lite_stem
+        self.stemmer = stemmer
+        self.d = frozenset(self._norm(w) for w in d)
+
+    def _norm(self, w: str) -> str:
+        if self.ignore_case:
+            w = w.casefold()
+        if self.stemmer is not None:
+            w = " ".join(self.stemmer(t) for t in w.split(" "))
+        return w
 
     def _f(self, span: Span) -> bool:
-        t = span.text.casefold() if self.ignore_case else span.text
-        return (t in self.d) != self.inverse
+        return (self._norm(span.text) in self.d) != self.inverse
 
 
 class RegexMatchSpan(Matcher):
@@ -142,15 +201,20 @@ class RegexMatchSpan(Matcher):
 
 
 class RegexMatchEach(Matcher):
-    """Every token matches the regex (reference uses this over
-    ``ner_tags`` for PersonMatcher etc.; here over words)."""
+    """Every token of ``attrib`` matches the regex (reference
+    ``snorkel/matchers.py`` ≈L150–230: ``attrib`` selects
+    words/lemmas/pos_tags/ner_tags — the NER-sugar matchers are
+    ``RegexMatchEach(attrib='ner_tags', rgx='PERSON')`` etc.)."""
 
-    def __init__(self, rgx: str, ignore_case: bool = True, longest_match_only: bool = True):
+    def __init__(self, rgx: str, ignore_case: bool = True, longest_match_only: bool = True,
+                 attrib: str = "words"):
         super().__init__(longest_match_only=longest_match_only)
         self.rgx = re.compile(rgx, (re.IGNORECASE if ignore_case else 0) | re.UNICODE)
+        self.attrib = attrib
 
     def _f(self, span: Span) -> bool:
-        return all(self.rgx.fullmatch(w) for w in span.words) and len(span.words) > 0
+        toks = span.get_attrib_tokens(self.attrib)
+        return all(self.rgx.fullmatch(w) for w in toks) and len(toks) > 0
 
 
 class Union(Matcher):
@@ -234,3 +298,31 @@ class CapitalizedMatcher(RegexMatchEach):
     def __init__(self, **kw):
         kw.setdefault("ignore_case", False)
         super().__init__(r"[A-Z][\w.'-]*", **kw)
+
+
+class PersonMatcher(RegexMatchEach):
+    """Reference NER sugar (``snorkel/matchers.py`` ≈L380–450): every
+    token's ``ner_tags`` entry is PERSON.  Requires a tagger stage
+    (stages/pretagged.py::add_token_tags) to have populated the array."""
+
+    def __init__(self, **kw):
+        kw.setdefault("attrib", "ner_tags")
+        super().__init__(r"PERSON", **kw)
+
+
+class LocationMatcher(RegexMatchEach):
+    def __init__(self, **kw):
+        kw.setdefault("attrib", "ner_tags")
+        super().__init__(r"LOCATION|GPE|LOC", **kw)
+
+
+class OrganizationMatcher(RegexMatchEach):
+    def __init__(self, **kw):
+        kw.setdefault("attrib", "ner_tags")
+        super().__init__(r"ORGANIZATION|ORG", **kw)
+
+
+class MiscMatcher(RegexMatchEach):
+    def __init__(self, **kw):
+        kw.setdefault("attrib", "ner_tags")
+        super().__init__(r"MISC", **kw)

@@ -179,6 +179,161 @@ def score_marginals(labeled, model: dict, *, batch_size: int | None = None):
 
 
 # ---------------------------------------------------------------------------
+# Categorical (cardinality k > 2) label model — reference
+# ``GenerativeModel`` + ``candidate_subclass(..., cardinality=k)``
+# support multi-class throughout (snorkel/learning/gen_learning.py
+# ≈L40–600, snorkel/models/candidate.py ≈L1–180; the reference test
+# suite has a categorical variant, SURVEY.md §5).  Votes follow the
+# reference's categorical convention: λ ∈ {0, 1..k}, 0 = abstain.
+# Same streaming recast as the binary model: pattern counts → driver EM
+# → broadcast scoring.
+# ---------------------------------------------------------------------------
+
+
+def _pattern_counts_batch_cat(batch: pa.Table) -> pa.Table:
+    L = batch.column("L")
+    flat = np.asarray(L.combine_chunks().flatten() if isinstance(L, pa.ChunkedArray)
+                      else L.flatten(), dtype=np.int8)
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"pattern": pa.array([], pa.binary()),
+                         "n": pa.array([], pa.int64())})
+    K = flat.size // n
+    mat = flat.reshape(n, K).astype(np.uint8)  # votes already ≥ 0
+    patterns, counts = np.unique(mat, axis=0, return_counts=True)
+    return pa.table({"pattern": pa.array([p.tobytes() for p in patterns], pa.binary()),
+                     "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def pattern_counts_cat(labeled) -> "pa.Table":
+    """Categorical-vote twin of ``pattern_counts`` (votes {0..k} pack
+    into uint8 bytes directly; ≤ (k+1)^K patterns, bounded per batch)."""
+    partial = labeled.map_batches(_pattern_counts_batch_cat, batch_format="pyarrow",
+                                  batch_size=16384)
+    df = partial.to_pandas()
+    if len(df) == 0 or "pattern" not in df.columns:
+        return pa.table({"pattern": pa.array([], pa.binary()),
+                         "n": pa.array([], pa.int64())})
+    agg = df.groupby("pattern", sort=True)["n"].sum().reset_index()
+    return pa.table({"pattern": pa.array(agg["pattern"].tolist(), pa.binary()),
+                     "n": pa.array(agg["n"].to_numpy(), pa.int64())})
+
+
+def fit_label_model_cat(counts: pa.Table, cardinality: int, *, n_iter: int = 300,
+                        tol: float = 1e-9, smooth: float = 0.2) -> dict:
+    """Exact EM on pattern counts, y ∈ {1..k}: class prior π_c and
+    class-conditional vote table θ[lf, c, v] = P(λ=v | y=c) with
+    v ∈ {0..k} — accuracy AND per-class propensity, the same
+    degeneracy-free parameterization as the binary model (an LF that
+    fires only on one class is itself evidence).
+
+    Label anchoring: q is initialized from the vote-count majority
+    (class c anchored to vote value c), and a greedy post-fit
+    permutation maximizes Σ_lf θ[lf, c, c] to undo any residual
+    label switching.
+
+    Returns {"theta": float64[K, k, k+1], "pi": float64[k],
+    "cardinality": k}."""
+    C = int(cardinality)
+    pats = [np.frombuffer(b, dtype=np.uint8) for b in counts.column("pattern").to_pylist()]
+    if not pats:
+        return {"theta": np.zeros((0, C, C + 1)), "pi": np.full(C, 1.0 / C),
+                "cardinality": C}
+    Lp = np.stack(pats).astype(np.int64)  # (P, K) in {0..C}
+    w = counts.column("n").to_numpy().astype(np.float64)
+    P, K = Lp.shape
+    V = [(Lp == v) for v in range(C + 1)]  # V[v][p, k]
+
+    # init: soft majority vote anchored to vote values
+    votes_per_class = np.stack([V[c + 1].sum(axis=1) for c in range(C)], axis=1)
+    q = np.exp(1.5 * (votes_per_class - votes_per_class.max(axis=1, keepdims=True)))
+    q /= q.sum(axis=1, keepdims=True)  # (P, C)
+
+    pi = np.full(C, 1.0 / C)
+    theta = np.full((K, C, C + 1), 1.0 / (C + 1))
+    ll_old = -np.inf
+    for _ in range(n_iter):
+        wq = w[:, None] * q  # (P, C)
+        for v in range(C + 1):
+            theta[:, :, v] = V[v].T @ wq + smooth  # (K, C)
+        theta /= theta.sum(axis=2, keepdims=True)
+        pi = np.clip((wq.sum(axis=0) + smooth) / (w.sum() + C * smooth), 1e-9, 1.0)
+        pi = pi / pi.sum()
+        lt = np.log(theta)
+        logp = np.log(pi)[None, :] + sum(V[v] @ lt[:, :, v] for v in range(C + 1))
+        m = logp.max(axis=1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(logp - m).sum(axis=1))
+        q = np.exp(logp - lse[:, None])
+        ll = float(w @ lse)
+        if abs(ll - ll_old) < tol * max(1.0, abs(ll_old)):
+            break
+        ll_old = ll
+
+    # greedy permutation: re-anchor class index c to the vote value it
+    # best explains (undoes residual label switching)
+    score = theta[:, :, 1:].sum(axis=0)  # (C classes, C vote values)
+    perm = np.full(C, -1, dtype=np.int64)
+    used_cls, used_vote = set(), set()
+    for _ in range(C):
+        best, bc, bv = -np.inf, -1, -1
+        for c in range(C):
+            if c in used_cls:
+                continue
+            for v in range(C):
+                if v in used_vote:
+                    continue
+                if score[c, v] > best:
+                    best, bc, bv = score[c, v], c, v
+        perm[bv] = bc
+        used_cls.add(bc)
+        used_vote.add(bv)
+    theta = theta[:, perm, :]
+    pi = pi[perm]
+    return {"theta": theta, "pi": pi, "cardinality": C}
+
+
+def posterior_cat(L: np.ndarray, theta: np.ndarray, pi: np.ndarray) -> np.ndarray:
+    """(n, K) votes in {0..k} → (n, k) class posteriors (reference
+    categorical ``GenerativeModel.marginals``)."""
+    C = theta.shape[1]
+    lt = np.log(np.maximum(theta, 1e-300))
+    logp = np.tile(np.log(np.maximum(pi, 1e-300))[None, :], (L.shape[0], 1))
+    for v in range(C + 1):
+        logp = logp + (L == v) @ lt[:, :, v]
+    m = logp.max(axis=1, keepdims=True)
+    e = np.exp(logp - m)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def score_marginals_cat(labeled, model: dict, *, batch_size: int | None = None):
+    """Append ``p_cat`` (list<float32>, per-class posterior) and
+    ``y_hat`` (int32 argmax class in 1..k) to every labeled row."""
+    theta = np.asarray(model["theta"], dtype=np.float64)
+    pi = np.asarray(model["pi"], dtype=np.float64)
+    C = int(model["cardinality"])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        Lc = batch.column("L")
+        flat = np.asarray(Lc.combine_chunks().flatten() if isinstance(Lc, pa.ChunkedArray)
+                          else Lc.flatten(), dtype=np.int8)
+        K = flat.size // max(n, 1)
+        if n:
+            post = posterior_cat(flat.reshape(n, K), theta, pi)
+            y_hat = post.argmax(axis=1).astype(np.int32) + 1
+        else:
+            post = np.zeros((0, C))
+            y_hat = np.zeros(0, np.int32)
+        off = pa.array(np.arange(0, (n + 1) * C, C, dtype=np.int32))
+        pcol = pa.ListArray.from_arrays(
+            off, pa.array(post.reshape(-1).astype(np.float32), pa.float32()))
+        batch = batch.append_column("p_cat", pcol)
+        return batch.append_column("y_hat", pa.array(y_hat, pa.int32()))
+
+    return labeled.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
 # LF diagnostics (SURVEY.md A2: coverage / overlap / conflict)
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,75 @@ def tag_sentences(sentences, tagger: Tagger, *, batch_size: int = 1024):
     return sentences.map_batches(_tag, batch_format="pyarrow", batch_size=batch_size)
 
 
+def add_token_tags(sentences, tagger: Callable[[list[str]], tuple[list[str], list[str]]],
+                   *, batch_size: int | None = None):
+    """Populate the reference Sentence model's ``pos_tags`` /
+    ``ner_tags`` token-annotation arrays (``snorkel/models/context.py``
+    ≈L100–220) via a pluggable tagger: ``tagger(words) -> (pos_tags,
+    ner_tags)``, both parallel to ``words``.  Downstream,
+    ``RegexMatchEach(attrib='ner_tags')`` / ``PersonMatcher`` etc. run
+    on the real arrays (round-1 verdict item 10).  Stateless tasks —
+    swap in an actor pool (``map_batches(Cls, concurrency=...)``) when
+    the tagger loads a heavy model."""
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        words_col = batch.column("words").to_pylist()
+        pos_out, ner_out = [], []
+        for words in words_col:
+            pos, ner = tagger(words)
+            if len(pos) != len(words) or len(ner) != len(words):
+                raise ValueError("tagger must return arrays parallel to words")
+            pos_out.append(pos)
+            ner_out.append(ner)
+        return (batch
+                .append_column("pos_tags", pa.array(pos_out, pa.list_(pa.string())))
+                .append_column("ner_tags", pa.array(ner_out, pa.list_(pa.string()))))
+
+    return sentences.map_batches(_tag, batch_format="pyarrow", batch_size=batch_size)
+
+
+def rule_token_tagger(person_lexicon: frozenset | None = None,
+                      location_lexicon: frozenset | None = None,
+                      titlecase_person_fallback: bool = False):
+    """Deterministic rule-based tagger factory (no NLP models in this
+    env — SURVEY.md §0): POS by shape (CD numbers, NNP TitleCase, NN
+    otherwise, punctuation as itself), NER by lexicon membership.
+    ``titlecase_person_fallback`` additionally tags mid-sentence
+    TitleCase tokens PERSON — high recall, low precision; off by
+    default (it would tag "Tuesday" a person)."""
+    import re as _re
+
+    num = _re.compile(r"[0-9][0-9,.]*")
+    cap = _re.compile(r"[A-Z][\w.'-]*")
+    punct = _re.compile(r"\W")
+    persons = person_lexicon or frozenset()
+    locations = location_lexicon or frozenset()
+
+    def _tag(words: list[str]) -> tuple[list[str], list[str]]:
+        pos, ner = [], []
+        for i, w in enumerate(words):
+            f = w.casefold()
+            if num.fullmatch(w):
+                pos.append("CD")
+            elif punct.fullmatch(w):
+                pos.append(w)
+            elif cap.fullmatch(w):
+                pos.append("NNP")
+            else:
+                pos.append("NN")
+            if f in persons:
+                ner.append("PERSON")
+            elif f in locations:
+                ner.append("LOCATION")
+            elif titlecase_person_fallback and i > 0 and cap.fullmatch(w):
+                ner.append("PERSON")
+            else:
+                ner.append("O")
+        return pos, ner
+
+    return _tag
+
+
 def _runs(types: list[str]) -> list[tuple[int, int, str]]:
     """Maximal runs of identical non-'O' tags → (start, end_incl, type)."""
     out = []

@@ -63,3 +63,57 @@ def test_empty_and_degenerate():
     m = fit_label_model(one)
     p = posterior(np.zeros((2, 3), np.int8), m["theta"], m["pi"])
     assert np.all(np.isfinite(p))
+
+
+def test_categorical_label_model_recovery(ray_session):
+    """k=3 synthetic recovery (the reference's categorical
+    GenerativeModel test idea, SURVEY.md §5): known per-LF accuracies
+    and propensities must be recovered within ±0.05, and posterior
+    argmax must beat the best single LF."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from snorkel_ray.stages.label_model import (fit_label_model_cat,
+                                                pattern_counts_cat,
+                                                posterior_cat)
+
+    rng = np.random.default_rng(5)
+    C, K, n = 3, 5, 20_000
+    acc = np.array([0.85, 0.75, 0.7, 0.65, 0.6])
+    fire = np.array([0.7, 0.6, 0.8, 0.5, 0.4])
+    pi_true = np.array([0.5, 0.3, 0.2])
+    y = rng.choice(C, size=n, p=pi_true) + 1
+    L = np.zeros((n, K), dtype=np.int8)
+    for k in range(K):
+        fires = rng.random(n) < fire[k]
+        correct = rng.random(n) < acc[k]
+        wrong = np.where(y == 1, rng.choice([2, 3], n),
+                         np.where(y == 2, rng.choice([1, 3], n), rng.choice([1, 2], n)))
+        L[:, k] = np.where(fires, np.where(correct, y, wrong), 0)
+
+    off = pa.array(np.arange(0, (n + 1) * K, K, dtype=np.int32))
+    tbl = pa.table({"L": pa.ListArray.from_arrays(
+        off, pa.array(L.reshape(-1), pa.int8()))})
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    model = fit_label_model_cat(pattern_counts_cat(ds), cardinality=C)
+    theta, pi = model["theta"], model["pi"]
+    assert np.allclose(np.sort(pi)[::-1], pi_true, atol=0.05)
+    for k in range(K):
+        fire_hat = 1.0 - theta[k, :, 0]  # P(fire | y=c)
+        acc_hat = np.array([theta[k, c, c + 1] for c in range(C)]) / \
+            np.maximum(fire_hat, 1e-9)
+        assert abs(float((acc_hat * pi).sum() / pi.sum()) - acc[k]) < 0.05, \
+            (k, acc_hat, acc[k])
+        assert abs(float((fire_hat * pi).sum() / pi.sum()) - fire[k]) < 0.05
+
+    post = posterior_cat(L, theta, pi)
+    model_acc = float((post.argmax(axis=1) + 1 == y).mean())
+    best_lf = max(float(((L[:, k] == y) | (L[:, k] == 0)).mean()) for k in range(K))
+    assert model_acc > 0.8
+    # posterior argmax beats every single LF's fire-accuracy
+    for k in range(K):
+        fired = L[:, k] != 0
+        lf_acc = float((L[fired, k] == y[fired]).mean())
+        assert model_acc > lf_acc - 0.02

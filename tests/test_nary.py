@@ -1,0 +1,144 @@
+"""N-ary candidate extraction (reference candidate_subclass with
+arity > 2; round-1 verdict item 5)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _sentences_ds(texts):
+    import ray.data as rd
+
+    rows = []
+    for i, t in enumerate(texts):
+        words, offs = [], []
+        pos = 0
+        for w in t.split(" "):
+            words.append(w)
+            offs.append(pos)
+            pos += len(w) + 1
+        rows.append({
+            "doc_id": np.uint64(i), "url": f"doc://{i}", "sent_idx": 0,
+            "sent_stable_id": f"doc://{i}::sent:0", "abs_char_start": 0,
+            "text": t, "words": words, "char_offsets": offs,
+        })
+    return rd.from_items(rows)
+
+
+TEXTS = [
+    "Aspirin inhibits COX2 causing relief in arthritis patients",
+    "Metformin activates AMPK improving outcomes in diabetes cases",
+    "Plain sentence without any planted entities at all today",
+]
+
+
+def test_nary_triple_extraction(ray_session):
+    from snorkel_ray.functions.matchers import DictionaryMatch
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates
+
+    cls = candidate_subclass("DrugGeneDisease", ["drug", "gene", "disease"])
+    drugs = DictionaryMatch(["aspirin", "metformin"])
+    genes = DictionaryMatch(["cox2", "ampk"])
+    diseases = DictionaryMatch(["arthritis", "diabetes"])
+
+    out = extract_nary_candidates(_sentences_ds(TEXTS), cls,
+                                  [drugs, genes, diseases]).to_pandas()
+    assert len(out) == 2
+    got = {(r["drug"]["text"], r["gene"]["text"], r["disease"]["text"])
+           for _, r in out.iterrows()}
+    assert got == {("Aspirin", "COX2", "arthritis"),
+                   ("Metformin", "AMPK", "diabetes")}
+    assert (out["pred"] == "DrugGeneDisease").all()
+    # struct args carry offsets usable for span slicing
+    r = out[out["url"] == "doc://0"].iloc[0]
+    assert r["sent_text"][r["drug"]["char_start"]:r["drug"]["char_end"]] == "Aspirin"
+
+
+def test_nary_filters(ray_session):
+    """self/nested/symmetric filter semantics (reference defaults)."""
+    from snorkel_ray.functions.matchers import DictionaryMatch
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates
+
+    cls = candidate_subclass("Pair", ["a", "b"])
+    people = DictionaryMatch(["alice", "bob"])
+
+    ds = _sentences_ds(["alice met bob yesterday"])
+    out = extract_nary_candidates(ds, cls, [people, people]).to_pandas()
+    # symmetric_relations=False with a SHARED matcher: only the
+    # sentence-ordered tuple survives (no (bob, alice) mirror, no
+    # (alice, alice) self-pair)
+    assert len(out) == 1
+    assert out.iloc[0]["a"]["text"] == "alice"
+    assert out.iloc[0]["b"]["text"] == "bob"
+
+    sym = extract_nary_candidates(ds, cls, [people, people],
+                                  symmetric_relations=True).to_pandas()
+    assert len(sym) == 2  # both orders, still no self/nested pairs
+
+
+def test_nary_pretagged_parity(ray_session):
+    """The pretagged n-ary path must find the same argument tuples as
+    the matcher path on the same corpus."""
+    from snorkel_ray.functions.matchers import DictionaryMatch
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates, extract_pretagged_nary
+    from snorkel_ray.stages.pretagged import tag_sentences
+
+    cls = candidate_subclass("DrugGeneDisease", ["drug", "gene", "disease"])
+    lex = {"aspirin": "DRUG", "metformin": "DRUG", "cox2": "GENE",
+           "ampk": "GENE", "arthritis": "DISEASE", "diabetes": "DISEASE"}
+
+    def tagger(words):
+        types = [lex.get(w.casefold(), "O") for w in words]
+        return types, ["" if t == "O" else f"CID:{w.casefold()}"
+                       for w, t in zip(words, types)]
+
+    tagged = tag_sentences(_sentences_ds(TEXTS), tagger)
+    via_tags = extract_pretagged_nary(tagged, cls,
+                                      ["DRUG", "GENE", "DISEASE"]).to_pandas()
+    via_match = extract_nary_candidates(
+        _sentences_ds(TEXTS), cls,
+        [DictionaryMatch(["aspirin", "metformin"]),
+         DictionaryMatch(["cox2", "ampk"]),
+         DictionaryMatch(["arthritis", "diabetes"])]).to_pandas()
+
+    def keyset(df):
+        return {(r["drug"]["key"], r["gene"]["key"], r["disease"]["key"])
+                for _, r in df.iterrows()}
+
+    assert keyset(via_tags) == keyset(via_match) != set()
+
+
+def test_person_matcher_over_tagged_arrays(ray_session):
+    """M13 matchers running on REAL ner_tags arrays written by the
+    tagger stage (round-1 verdict item 10) — not the capitalization
+    heuristic: lowercase lexicon hits must match, capitalized
+    non-persons must not."""
+    from snorkel_ray.functions.matchers import PersonMatcher, RegexMatchEach
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates
+    from snorkel_ray.stages.pretagged import add_token_tags, rule_token_tagger
+
+    texts = ["yesterday obama met Merkel in Berlin",
+             "the Tuesday meeting about Linux happened in paris"]
+    tagger = rule_token_tagger(
+        person_lexicon=frozenset({"obama", "merkel"}),
+        location_lexicon=frozenset({"berlin", "paris"}))
+    tagged = add_token_tags(_sentences_ds(texts), tagger)
+
+    cls = candidate_subclass("Met", ["p1", "p2"])
+    pm = PersonMatcher()
+    out = extract_nary_candidates(tagged, cls, [pm, pm]).to_pandas()
+    # lowercase "obama" matches via the lexicon tag (a capitalization
+    # heuristic would miss it); Berlin is LOCATION so never a person arg
+    assert len(out) == 1
+    assert (out.iloc[0]["p1"]["text"], out.iloc[0]["p2"]["text"]) == \
+        ("obama", "Merkel")
+
+    # pos_tags attrib drives matching too: number tokens via CD
+    loc = RegexMatchEach("LOCATION", attrib="ner_tags")
+    cls2 = candidate_subclass("MetAt", ["person", "place"])
+    out2 = extract_nary_candidates(tagged, cls2, [pm, loc]).to_pandas()
+    got = {(r["person"]["text"], r["place"]["text"]) for _, r in out2.iterrows()}
+    assert ("obama", "Berlin") in got and ("Merkel", "Berlin") in got
