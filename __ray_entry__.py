@@ -300,6 +300,23 @@ def q_user_daily_windows(sf_dir: str):
             .sort("user_id"))
 
 
+def q_sliding_window_mean(sf_dir: str):
+    """Per-user trailing 3-event rolling mean (sliding window op) —
+    SQL-checkable via AVG OVER (ROWS BETWEEN 2 PRECEDING AND CURRENT)."""
+    from snorkel_ray.stages.windows import sliding_window_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = sliding_window_mean(ds, window=3)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        vals = [None if v is None else round(v, 6)
+                for v in b.column("rolling_mean").to_pylist()]
+        return pa.table({"event_id": b.column("event_id"),
+                         "rolling_mean": pa.array(vals, pa.float64())})
+
+    return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
+
+
 def q_order_price_quantiles(sf_dir: str):
     """Exact median order price by priority: groupby + per-group numpy
     median (interpolates the two middle values on even counts, matching
@@ -573,6 +590,30 @@ def q_kg_pipeline_sf(sf_dir: str):
     return triples
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup candidate pairs via hyperplane LSH
+    (rows-only: LSH bucketing is approximate by construction; exactness
+    of the within-bucket cosine is unit-tested)."""
+    from snorkel_ray.stages.dedup import embedding_near_dup_pairs
+
+    # random test embeddings have no true near-dups; threshold 0.35
+    # with few LSH bits surfaces a non-trivial candidate-pair set so
+    # the rows-only check exercises real output
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                   threshold=0.35, lsh_bits=4)
+
+    def _round(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.schema.names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine_r": pa.array([], pa.float64())})
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "cosine_r": pc.round(b.column("cosine"), 4)})
+
+    return out.map_batches(_round, batch_format="pyarrow").sort(["a", "b"])
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF ANN variant (rows-only: approximate by construction)."""
     from snorkel_ray.stages.similarity import fit_centroids, ivf_topk
@@ -597,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts": q_user_session_counts,
         "user_daily_windows": q_user_daily_windows,
         "order_price_quantiles": q_order_price_quantiles,
+        "sliding_window_mean": q_sliding_window_mean,
         "approx_distinct_users": q_approx_distinct_users,
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
@@ -611,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": q_text_analysis,
         "kg_pipeline": q_kg_pipeline_sf,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -676,6 +719,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    round(median(o_totalprice), 2) AS median_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "sliding_window_mean": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_mean
+            FROM events ORDER BY event_id""",
         "token_counts": """
             SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                      AS total_tokens

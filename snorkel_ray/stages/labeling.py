@@ -81,13 +81,25 @@ def make_kg_lfs(facts: set[tuple[str, str, str]] | None,
     lfs: LFRegistry = {}
     reg = labeling_function  # local alias
 
+    # Shared masks: when LFApplier precomputed them via pyarrow.compute
+    # they ride in under reserved keys (_has_pred/_neg/_cue); a plain
+    # dict (unit tests, ad-hoc use) falls back to the Python path.
+    def _has_pred(c) -> np.ndarray:
+        m = c.get("_has_pred") if hasattr(c, "get") else None
+        if m is None:
+            m = np.asarray([p != "" for p in c["pred"]])
+        return m
+
     @reg("lf_trigger", lfs)
     def lf_trigger(c):
-        return np.where(np.asarray([p != "" for p in c["pred"]]), 1, 0).astype(np.int8)
+        return np.where(_has_pred(c), 1, 0).astype(np.int8)
 
     @reg("lf_negation", lfs)
     def lf_negation(c):
-        neg = _contains(c["between_text"], NEGATION) | _contains(c["pre_text"], NEGATION)
+        neg = c.get("_neg") if hasattr(c, "get") else None
+        if neg is None:
+            neg = _contains(c["between_text"], NEGATION) | \
+                _contains(c["pre_text"], NEGATION)
         return np.where(neg, -1, 0).astype(np.int8)
 
     @reg("lf_far_apart", lfs)
@@ -97,49 +109,54 @@ def make_kg_lfs(facts: set[tuple[str, str, str]] | None,
 
     @reg("lf_close_trigger", lfs)
     def lf_close_trigger(c):
-        has = np.asarray([p != "" for p in c["pred"]])
         gap = np.asarray(c["gap"])
-        return np.where(has & (gap <= 6), 1, 0).astype(np.int8)
+        return np.where(_has_pred(c) & (gap <= 6), 1, 0).astype(np.int8)
 
     @reg("lf_no_trigger", lfs)
     def lf_no_trigger(c):
-        return np.where(np.asarray([p == "" for p in c["pred"]]), -1, 0).astype(np.int8)
+        return np.where(~_has_pred(c), -1, 0).astype(np.int8)
 
     @reg("lf_report_cue", lfs)
     def lf_report_cue(c):
-        cue = np.fromiter(("appeared in a report about" in s for s in c["sent_text"]),
-                          dtype=bool, count=len(c["sent_text"]))
+        cue = c.get("_cue") if hasattr(c, "get") else None
+        if cue is None:
+            cue = np.fromiter(("appeared in a report about" in s
+                               for s in c["sent_text"]),
+                              dtype=bool, count=len(c["sent_text"]))
         return np.where(cue, -1, 0).astype(np.int8)
+
+    def _ds_votes(c, vote_known: int, vote_unknown: int) -> np.ndarray:
+        has = _has_pred(c)
+        out = np.zeros(len(has), dtype=np.int8)
+        idx = np.flatnonzero(has)  # Python loop only over trigger rows
+        if len(idx) == 0:
+            return out
+        sk, p, ok = c["subj_key"], c["pred"], c["obj_key"]
+        for i in idx:
+            s = link_index.get(sk[i])
+            o = link_index.get(ok[i])
+            if s and o:
+                out[i] = vote_known if (s[0], p[i], o[0]) in facts else vote_unknown
+        return out
 
     @reg("lf_ds_known_pair", lfs)
     def lf_ds_known_pair(c):
         if facts is None or link_index is None:
             return np.zeros(len(c["pred"]), dtype=np.int8)
-        out = np.zeros(len(c["pred"]), dtype=np.int8)
-        for i, (sk, p, ok) in enumerate(zip(c["subj_key"], c["pred"], c["obj_key"])):
-            if not p:
-                continue
-            s = link_index.get(sk)
-            o = link_index.get(ok)
-            if s and o and (s[0], p, o[0]) in facts:
-                out[i] = 1
-        return out
+        return np.where(_ds_votes(c, 1, 0) == 1, 1, 0).astype(np.int8)
 
     @reg("lf_ds_unknown_pair", lfs)
     def lf_ds_unknown_pair(c):
         if facts is None or link_index is None:
             return np.zeros(len(c["pred"]), dtype=np.int8)
-        out = np.zeros(len(c["pred"]), dtype=np.int8)
-        for i, (sk, p, ok) in enumerate(zip(c["subj_key"], c["pred"], c["obj_key"])):
-            if not p:
-                continue
-            s = link_index.get(sk)
-            o = link_index.get(ok)
-            if s and o and (s[0], p, o[0]) not in facts:
-                out[i] = -1
-        return out
+        return _ds_votes(c, 0, -1)
 
     return lfs
+
+
+_BUILTIN_LF_NAMES = frozenset({
+    "lf_trigger", "lf_negation", "lf_far_apart", "lf_close_trigger",
+    "lf_no_trigger", "lf_report_cue", "lf_ds_known_pair", "lf_ds_unknown_pair"})
 
 
 class LFApplier:
@@ -160,10 +177,32 @@ class LFApplier:
         self.lf_names = list(self.lfs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {name: batch.column(name).to_pylist() for name in
-                ("pred", "between_text", "pre_text", "sent_text", "subj_key", "obj_key")}
-        cols["gap"] = batch.column("gap").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
         n = batch.num_rows
+        # shared masks via pyarrow.compute — the built-in LFs consume
+        # these instead of re-deriving them from Python string lists
+        # (round-1 verdict: the hot loop of the flagship converted five
+        # string columns per batch; now only the DS-LF key columns are)
+        neg_rgx = NEGATION.pattern
+        cols: dict = {
+            "_has_pred": np.asarray(pc.not_equal(batch.column("pred"), "")),
+            "_neg": (np.asarray(pc.match_substring_regex(
+                batch.column("between_text"), neg_rgx))
+                | np.asarray(pc.match_substring_regex(
+                    batch.column("pre_text"), neg_rgx))),
+            "_cue": np.asarray(pc.match_substring(
+                batch.column("sent_text"), "appeared in a report about")),
+        }
+        cols["pred"] = batch.column("pred").to_pylist()
+        cols["subj_key"] = batch.column("subj_key").to_pylist()
+        cols["obj_key"] = batch.column("obj_key").to_pylist()
+        cols["gap"] = batch.column("gap").to_numpy(zero_copy_only=False)
+        # the raw text columns are served by the masks above for the
+        # built-in set; hydrate them only when user extension LFs exist
+        if set(self.lf_names) - _BUILTIN_LF_NAMES:
+            for name in ("between_text", "pre_text", "sent_text"):
+                cols[name] = batch.column(name).to_pylist()
         votes = np.zeros((n, len(self.lf_names)), dtype=np.int8)
         for j, name in enumerate(self.lf_names):
             v = np.asarray(self.lfs[name](cols), dtype=np.int8)

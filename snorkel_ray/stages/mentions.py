@@ -42,9 +42,9 @@ def build_alias_index(alias_table: pa.Table) -> dict:
         if not key:
             continue
         cur = index.get(key)
-        if cur is None or (prior, cur[0]) > (cur[1], qid):  # higher prior wins; then smaller qid
-            if cur is None or prior > cur[1] or (prior == cur[1] and qid < cur[0]):
-                index[key] = (qid, float(prior), alias)
+        # higher prior wins; ties break to the smaller qid (deterministic)
+        if cur is None or prior > cur[1] or (prior == cur[1] and qid < cur[0]):
+            index[key] = (qid, float(prior), alias)
         max_len = max(max_len, len(key))
         first.add(key[0])
     return {"index": index, "max_len": max_len, "first_tokens": first}
