@@ -20,13 +20,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.candidates import extract_candidates
+from ..stages.candidates import extract_candidates_fused
 from ..stages.extract import extract_docs
 from ..stages.label_model import fit_label_model, pattern_counts, score_marginals
 from ..stages.labeling import apply_lfs
 from ..stages.linking import build_link_index
 from ..stages.materialize import link_candidates, materialize_triples
-from ..stages.sentences import split_docs_to_sentences
 from ..state.checkpoint import CheckpointedPipeline
 
 
@@ -61,21 +60,24 @@ def run_kg_pipeline(
     def _lang_filter(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b.column("lang"), lang))
 
+    # fused docs→candidates (sentence split+tokenize+pair in one map
+    # fn) — the separate sentence stage built Arrow list<string>
+    # columns only for the next fused stage to to_pylist() them back;
+    # skipping that was the tokenizer-stage scaling fix (BASELINE.md
+    # round-2 per-stage audit). extract_candidates over an explicit
+    # sentence table remains for sentence-level consumers.
     labeled, fp = cp.stage(
         "labeled",
         {"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
-         "cooccur_gap": cooccur_gap},
+         "cooccur_gap": cooccur_gap, "fused": True},
         lambda: apply_lfs(
-            extract_candidates(
-                split_docs_to_sentences(
-                    extract_docs(
-                        pages.map_batches(_lang_filter, batch_format="pyarrow")
-                    )
+            extract_candidates_fused(
+                extract_docs(
+                    pages.map_batches(_lang_filter, batch_format="pyarrow")
                 ),
                 alias_ref,
                 cooccur_pred=cooccur_pred,
                 cooccur_gap=cooccur_gap,
-                concurrency=concurrency,
             ),
             kb_ref,
             concurrency=concurrency,

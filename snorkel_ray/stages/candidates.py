@@ -87,6 +87,71 @@ class CandidateExtractor:
                 i += 1
         return out
 
+    def _process_sentence(self, o: dict, doc_id, url: str, sent_idx: int,
+                          sid: str, a0: int, text: str, words: list[str],
+                          offs: list[int]) -> None:
+        """Pairing core for ONE sentence — shared by the sentence-table
+        path (``__call__``) and the fused docs path
+        (``extract_candidates_fused``)."""
+        if len(words) < 2:
+            return
+        folded = [w.casefold() for w in words]
+        ments = self._scan(words, folded)
+        if len(ments) < 2:
+            return
+        for si in range(len(ments)):
+            for oi in range(si + 1, len(ments)):
+                sws, swe = ments[si]
+                ows, owe = ments[oi]
+                gap = ows - swe - 1
+                if gap < 0 or gap > self.max_gap:
+                    continue
+                s_cs0, s_ce0 = offs[sws], offs[swe] + len(words[swe])
+                o_cs0, o_ce0 = offs[ows], offs[owe] + len(words[owe])
+                # self-relations (same normalized entity) are dropped
+                # (reference self_relations=False default)
+                if normalize_entity_key(text[s_cs0:s_ce0]) == normalize_entity_key(
+                    text[o_cs0:o_ce0]
+                ):
+                    continue
+                between = " ".join(folded[swe + 1 : ows])
+                pred = detect_predicate(between)
+                if not pred and self.cooccur_pred and gap <= self.cooccur_gap:
+                    pred = self.cooccur_pred
+
+                def emit(a_ws, a_we, b_ws, b_we, direction):
+                    a_cs, a_ce = offs[a_ws], offs[a_we] + len(words[a_we])
+                    b_cs, b_ce = offs[b_ws], offs[b_we] + len(words[b_we])
+                    a_text = text[a_cs:a_ce]
+                    b_text = text[b_cs:b_ce]
+                    lo_cs = min(a_cs, b_cs)
+                    hi_ce = max(a_ce, b_ce)
+                    o["cand_stable_id"].append(
+                        f"{url}::cand:{a0 + lo_cs}:{a0 + hi_ce}:"
+                        f"{pred or 'none'}:{direction}"
+                    )
+                    o["doc_id"].append(doc_id)
+                    o["url"].append(url)
+                    o["sent_idx"].append(sent_idx)
+                    o["sent_stable_id"].append(sid)
+                    o["pred"].append(pred)
+                    o["subj_text"].append(a_text)
+                    o["subj_key"].append(normalize_entity_key(a_text))
+                    o["subj_word_start"].append(a_ws)
+                    o["subj_word_end"].append(a_we)
+                    o["obj_text"].append(b_text)
+                    o["obj_key"].append(normalize_entity_key(b_text))
+                    o["obj_word_start"].append(b_ws)
+                    o["obj_word_end"].append(b_we)
+                    o["gap"].append(gap)
+                    o["between_text"].append(between)
+                    o["pre_text"].append(" ".join(folded[:min(a_ws, b_ws)]))
+                    o["sent_text"].append(text)
+
+                emit(sws, swe, ows, owe, "f")
+                if self.both_orders:
+                    emit(ows, owe, sws, swe, "r")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         urls = batch.column("url").to_pylist()
@@ -99,69 +164,38 @@ class CandidateExtractor:
 
         o: dict[str, list] = {k: [] for k in CANDIDATE_COLUMNS}
         for r in range(len(urls)):
-            words = words_col[r]
-            if len(words) < 2:
-                continue
-            folded = [w.casefold() for w in words]
-            ments = self._scan(words, folded)
-            if len(ments) < 2:
-                continue
-            offs = offs_col[r]
-            text = texts[r]
-            a0 = int(abs_starts[r])
-            for si in range(len(ments)):
-                for oi in range(si + 1, len(ments)):
-                    sws, swe = ments[si]
-                    ows, owe = ments[oi]
-                    gap = ows - swe - 1
-                    if gap < 0 or gap > self.max_gap:
-                        continue
-                    s_cs0, s_ce0 = offs[sws], offs[swe] + len(words[swe])
-                    o_cs0, o_ce0 = offs[ows], offs[owe] + len(words[owe])
-                    # self-relations (same normalized entity) are dropped
-                    # (reference self_relations=False default)
-                    if normalize_entity_key(text[s_cs0:s_ce0]) == normalize_entity_key(
-                        text[o_cs0:o_ce0]
-                    ):
-                        continue
-                    between = " ".join(folded[swe + 1 : ows])
-                    pred = detect_predicate(between)
-                    if not pred and self.cooccur_pred and gap <= self.cooccur_gap:
-                        pred = self.cooccur_pred
+            self._process_sentence(o, doc_ids[r], urls[r], int(sent_idxs[r]),
+                                   sids[r], int(abs_starts[r]), texts[r],
+                                   words_col[r], offs_col[r])
 
-                    def emit(a_ws, a_we, b_ws, b_we, direction):
-                        a_cs, a_ce = offs[a_ws], offs[a_we] + len(words[a_we])
-                        b_cs, b_ce = offs[b_ws], offs[b_we] + len(words[b_we])
-                        a_text = text[a_cs:a_ce]
-                        b_text = text[b_cs:b_ce]
-                        lo_cs = min(a_cs, b_cs)
-                        hi_ce = max(a_ce, b_ce)
-                        o["cand_stable_id"].append(
-                            f"{urls[r]}::cand:{a0 + lo_cs}:{a0 + hi_ce}:"
-                            f"{pred or 'none'}:{direction}"
-                        )
-                        o["doc_id"].append(doc_ids[r])
-                        o["url"].append(urls[r])
-                        o["sent_idx"].append(int(sent_idxs[r]))
-                        o["sent_stable_id"].append(sids[r])
-                        o["pred"].append(pred)
-                        o["subj_text"].append(a_text)
-                        o["subj_key"].append(normalize_entity_key(a_text))
-                        o["subj_word_start"].append(a_ws)
-                        o["subj_word_end"].append(a_we)
-                        o["obj_text"].append(b_text)
-                        o["obj_key"].append(normalize_entity_key(b_text))
-                        o["obj_word_start"].append(b_ws)
-                        o["obj_word_end"].append(b_we)
-                        o["gap"].append(gap)
-                        o["between_text"].append(between)
-                        o["pre_text"].append(" ".join(folded[:min(a_ws, b_ws)]))
-                        o["sent_text"].append(text)
+        return self._to_table(o)
 
-                    emit(sws, swe, ows, owe, "f")
-                    if self.both_orders:
-                        emit(ows, owe, sws, swe, "r")
+    def process_docs(self, batch: pa.Table) -> pa.Table:
+        """FUSED docs → candidates: split + tokenize + pair inside one
+        batch fn, never constructing the intermediate Arrow
+        ``list<string>`` sentence columns (they were built only to be
+        ``to_pylist()``-ed right back in the fused chain — measured as
+        the stage that stops scaling past ~16 workers, BASELINE.md
+        round-2 audit).  The standalone sentence table path remains for
+        consumers that need it."""
+        from ..functions.ids import construct_stable_id
+        from .sentences import split_sentences, tokenize
 
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o: dict[str, list] = {k: [] for k in CANDIDATE_COLUMNS}
+        for did, url, text in zip(doc_ids, urls, texts):
+            for idx, (abs_start, sent) in enumerate(split_sentences(text)):
+                words, offs = tokenize(sent)
+                sid = construct_stable_id(url, "sentence", abs_start,
+                                          abs_start + len(sent))
+                self._process_sentence(o, did, url, idx, sid, abs_start,
+                                       sent, words, offs)
+        return self._to_table(o)
+
+    @staticmethod
+    def _to_table(o: dict) -> pa.Table:
         return pa.table(
             {
                 "cand_stable_id": pa.array(o["cand_stable_id"], pa.string()),
@@ -200,6 +234,31 @@ def _cache_key(ref) -> str:
     from ..state.resources import broadcast_key
 
     return broadcast_key(ref)
+
+
+def extract_candidates_fused(docs, alias_ref, *, max_gap: int = 12,
+                             cooccur_pred: str | None = None,
+                             cooccur_gap: int = 3, both_orders: bool = False,
+                             batch_size: int | None = None):
+    """docs (url, doc_id, text) → candidates in ONE map stage:
+    sentence split + tokenize + mention scan + pairing fused, skipping
+    the intermediate Arrow sentence table entirely.  Same output rows
+    as ``extract_candidates(split_docs_to_sentences(docs), ...)`` —
+    asserted by test_pipeline's fused-parity test."""
+    kwargs = {"max_gap": max_gap, "cooccur_pred": cooccur_pred,
+              "cooccur_gap": cooccur_gap, "both_orders": both_orders}
+    key = ("fused", _cache_key(alias_ref), max_gap, cooccur_pred, cooccur_gap,
+           both_orders)
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        from ..state.resources import cache_get_or_build
+
+        inst = cache_get_or_build(_EXTRACTOR_CACHE, key,
+                                  lambda: CandidateExtractor(alias_ref, **kwargs))
+        return inst.process_docs(batch)
+
+    return docs.map_batches(_extract, batch_format="pyarrow",
+                            batch_size=batch_size)
 
 
 def extract_candidates(sentences, alias_ref, *, max_gap: int = 12,

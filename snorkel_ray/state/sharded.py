@@ -228,13 +228,12 @@ def run_kg_pipeline_sharded(
     import ray.data as rd
     import pyarrow.compute as pc
 
-    from ..stages.candidates import extract_candidates
+    from ..stages.candidates import extract_candidates_fused
     from ..stages.extract import extract_docs
     from ..stages.label_model import fit_label_model, pattern_counts, score_marginals
     from ..stages.labeling import apply_lfs
     from ..stages.linking import build_link_index
     from ..stages.materialize import link_candidates, materialize_triples
-    from ..stages.sentences import split_docs_to_sentences
 
     alias_ref = ray.put(alias_table)
     kb_ref = ray.put({"facts": [tuple(f) for f in (facts or [])],
@@ -245,8 +244,7 @@ def run_kg_pipeline_sharded(
             lambda b: b.filter(pc.equal(b.column("lang"), lang)),
             batch_format="pyarrow")
         return apply_lfs(
-            extract_candidates(split_docs_to_sentences(extract_docs(filtered)),
-                               alias_ref),
+            extract_candidates_fused(extract_docs(filtered), alias_ref),
             kb_ref)
 
     shards = None

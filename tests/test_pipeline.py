@@ -123,3 +123,27 @@ def test_canonicalize_and_diagnostics_modes(ray_session, kb):
     assert info["coverage"]["coverage"] > 0.9
     names = [r["lf_name"] for r in info["lf_stats"]]
     assert "lf_trigger" in names and "lf_negation" in names
+
+
+def test_fused_candidates_parity(ray_session):
+    """extract_candidates_fused(docs) must emit exactly the rows of
+    extract_candidates(split_docs_to_sentences(docs)) — the fused path
+    skips the intermediate Arrow sentence columns, nothing else."""
+    from snorkel_ray.stages.candidates import extract_candidates, \
+        extract_candidates_fused
+    from snorkel_ray.stages.extract import extract_docs
+    from snorkel_ray.stages.sentences import split_docs_to_sentences
+    from snorkel_ray.synth import alias_table, build_kb, pages_dataset
+
+    kb = build_kb(42)
+    at = alias_table(kb)
+    docs = extract_docs(pages_dataset(120, 42)).materialize()
+
+    via_sentences = extract_candidates(split_docs_to_sentences(docs), at) \
+        .to_pandas().sort_values("cand_stable_id").reset_index(drop=True)
+    fused = extract_candidates_fused(docs, at) \
+        .to_pandas().sort_values("cand_stable_id").reset_index(drop=True)
+    assert len(fused) == len(via_sentences) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fused, via_sentences)
