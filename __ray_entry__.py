@@ -614,6 +614,48 @@ def q_embedding_near_dup(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort(["a", "b"])
 
 
+def q_multimodal_pipeline(sf_dir: str):
+    """Multimodal plumbing over opaque binary payloads (rows-only: the
+    decode itself is the documented deterministic fake — no image libs
+    in this container — but the schema/actor-pool/batching path is the
+    real one): documents bytes → media table → actor-pool decode →
+    per-media frame sample → join of thumb stats with frame counts."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.multimodal import decode_images, sample_frames
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _to_media(b: pa.Table) -> pa.Table:
+        ids = [f"m{v}" for v in b.column("doc_id").to_pylist()]
+        payloads = [t.encode() for t in b.column("text").to_pylist()]
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "mime": pa.array(["application/octet-stream"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_json": pa.array(["{}"] * n, pa.string()),
+        })
+
+    media = ds.map_batches(_to_media, batch_format="pyarrow").materialize()
+    decoded = decode_images(media, fake=True)
+
+    def _thumb_stats(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        px = b.column("pixels").to_pylist()
+        means = [round(float(np.mean(p)), 2) if len(p) else 0.0 for p in px]
+        return pa.table({"media_id": b.column("media_id"),
+                         "mean_px": pa.array(means, pa.float64())})
+
+    stats = decoded.map_batches(_thumb_stats, batch_format="pyarrow")
+    frames = (sample_frames(media, n_frames=3)
+              .groupby("media_id").aggregate(Count(alias_name="n_frames")))
+    out = stats.join(frames, join_type="inner", num_partitions=4,
+                     on=("media_id",))
+    return out.sort("media_id")
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF ANN variant (rows-only: approximate by construction)."""
     from snorkel_ray.stages.similarity import fit_centroids, ivf_topk
@@ -654,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pipeline": q_kg_pipeline_sf,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 
