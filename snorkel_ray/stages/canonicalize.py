@@ -23,57 +23,94 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def union_find_labels(edges_df, src: str = "src", dst: str = "dst"):
+    """Driver-side union-find over a small edge DataFrame → DataFrame
+    (node, label=min member).  The O(E α(E)) path for edge tables that
+    fit the driver — the distributed label propagation below is the
+    huge-edge-set regime."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edges_df[src], edges_df[dst]):
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = list(parent)
+    return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+
+
 def connected_components(edges, src: str = "src", dst: str = "dst",
-                         *, max_iter: int = 4, num_partitions: int = 4):
+                         *, max_iter: int = 4, num_partitions: int = 4,
+                         driver_threshold: int = 2_000_000):
     """edges Dataset (two string cols) → Dataset (node, label) where
     label = lexicographic min node id in the component.
 
-    Label propagation on the edge list: alternate grouping the edge
-    state by dst then by src, setting every edge's label to the group
-    min — one hash-partitioned groupby per half-round, NO join (each
-    round is a single shuffle of the edge table; ``Dataset.join`` is
-    avoided deliberately — its hash-shuffle finalize breaks on empty
-    partitions in ray 2.49, and a groupby-assign expresses the same
-    semantics with one less all-to-all).
-
-    The edge-state table is ``materialize()``d between rounds: it is
-    the DISTINCT edge set (bounded, ≪ the corpus — callers dedup
-    first), and pinning it keeps each round's plan to exactly one
-    shuffle (stacked lazy shuffle rounds deadlocked a 4-CPU session).
+    Edge sets up to ``driver_threshold`` rows short-circuit to driver
+    union-find (exact, no shuffle rounds; callers pass the DISTINCT
+    edge table which is ≪ the corpus); larger sets run distributed
+    NODE-label propagation: each round, every node's label becomes the
+    min over itself and both endpoints' labels of its incident edges —
+    one exploded groupby-min per round, edges + label table
+    ``materialize()``d between rounds (stacked lazy shuffle rounds
+    deadlocked a 4-CPU session).  Min labels spread one hop per round,
+    so ``max_iter`` must cover the component diameter; the round-1
+    half-round edge-grouping variant only merged edges sharing an
+    endpoint IN THE SAME ROLE and silently failed on path graphs
+    (caught by test_cc_distributed_path_matches_union_find).
     """
-    # edge state: (src, dst, lbl) with lbl starting as min(src, dst)
-    def _init(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lbl = pc.min_element_wise(b.column(src), b.column(dst))
-        return pa.table({"src": b.column(src), "dst": b.column(dst), "lbl": lbl})
-
-    import pandas as pd
+    import ray.data as rd
     from ray.data.aggregate import Min
 
-    state = edges.map_batches(_init, batch_format="pyarrow").materialize()
+    edges = edges.materialize()  # consumed by count + either CC path
+    if edges.count() <= driver_threshold:
+        df = edges.select_columns([src, dst]).to_pandas()
+        return rd.from_pandas(union_find_labels(df, src, dst))
 
-    def _prop(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["lbl"] = g["lbl"].min()
-        return g
+    from .joins import apply_mapping
 
-    for it in range(max_iter):
-        side = "dst" if it % 2 == 0 else "src"
-        state = state.groupby(side).map_groups(_prop, batch_format="pandas").materialize()
+    def _init_nodes(b: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([b.column(src).combine_chunks(),
+                              b.column(dst).combine_chunks()])
+        return pa.table({"node": n, "lbl": n})
 
-    # final node → label: min over both endpoints' rows
-    def _explode(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays([b.column("src").combine_chunks(),
-                                          b.column("dst").combine_chunks()]),
-                "lbl": pa.concat_arrays([b.column("lbl").combine_chunks()] * 2),
-            }
-        )
+    labels = (edges.map_batches(_init_nodes, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+              .materialize())
 
-    nodes = state.map_batches(_explode, batch_format="pyarrow")
-    return nodes.groupby("node").aggregate(Min("lbl", alias_name="label"))
+    for _ in range(max_iter):
+        # attach current labels to both endpoints, then each node takes
+        # the min over (own label, neighbor labels)
+        e = apply_mapping(edges, labels, src, "node", "lbl", "_src_lbl",
+                          num_partitions=num_partitions)
+        e = apply_mapping(e, labels, dst, "node", "lbl", "_dst_lbl",
+                          num_partitions=num_partitions)
+
+        def _cands(b: pa.Table) -> pa.Table:
+            node = pa.concat_arrays([b.column(src).combine_chunks(),
+                                     b.column(dst).combine_chunks()])
+            lbl = pa.concat_arrays([b.column("_dst_lbl").combine_chunks(),
+                                    b.column("_src_lbl").combine_chunks()])
+            return pa.table({"node": node, "lbl": lbl})
+
+        cand = e.map_batches(_cands, batch_format="pyarrow").union(labels)
+        labels = (cand.groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "label": b.column("lbl")}),
+        batch_format="pyarrow")
 
 
 def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):

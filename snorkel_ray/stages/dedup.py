@@ -319,29 +319,12 @@ def verify_pairs_jaccard(ds, pairs, column: str, id_column: str, *,
 
 
 def _union_find_labels(edges: pd.DataFrame) -> pd.DataFrame:
-    """Driver-side union-find → (node, label=min member).  Used when the
-    VERIFIED edge set is small (it is ≪ the corpus by construction);
-    the distributed label-propagation CC handles the huge-edge-set
-    regime."""
-    parent: dict = {}
+    """Driver-side union-find → (node, label=min member); shared
+    implementation in canonicalize (used when the VERIFIED edge set is
+    ≪ the corpus)."""
+    from .canonicalize import union_find_labels
 
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(edges["a"], edges["b"]):
-        for n in (a, b):
-            if n not in parent:
-                parent[n] = n
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    nodes = list(parent)
-    return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+    return union_find_labels(edges, "a", "b")
 
 
 def minhash_dedup(ds, column: str, id_column: str, *, num_perm: int = 64,

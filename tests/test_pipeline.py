@@ -147,3 +147,22 @@ def test_fused_candidates_parity(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fused, via_sentences)
+
+
+def test_cc_distributed_path_matches_union_find(ray_session):
+    """Both connected-components regimes (driver union-find below the
+    threshold, distributed label propagation above) must label chains
+    identically."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.canonicalize import connected_components
+
+    edges = [{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(6)] + \
+        [{"src": "x1", "dst": "x2"}, {"src": "z9", "dst": "z8"}]
+    ds = rd.from_items(edges).repartition(3)
+    small = connected_components(ds).to_pandas().set_index("node")["label"]
+    dist = connected_components(ds, driver_threshold=0, max_iter=6) \
+        .to_pandas().set_index("node")["label"]
+    for n in small.index:
+        assert small[n] == dist[n], n
+    assert small["n6"] == "n0" and small["x2"] == "x1" and small["z8"] == "z8"
