@@ -45,10 +45,18 @@ def run_kg_pipeline(
     fit_sample_rows: int | None = None,
     canonicalize: bool = False,
     diagnostics: bool = False,
+    giant_page_bytes: int | None = None,
 ):
     """→ (triples Dataset, info dict). Ray must already be initialised
     by the caller (driver contract: this function never calls
-    ray.init)."""
+    ray.init).
+
+    ``giant_page_bytes``: when set, pages whose ``html`` payload
+    exceeds it are routed through their own stream with single-row
+    batches (north rule: giant pages handled with explicit routing) —
+    one 100 MB page then occupies one task instead of straggling a
+    whole block of normal pages.  Both streams run the identical fused
+    chain and union before labeling stats."""
     import ray
 
     alias_ref = ray.put(alias_table)
@@ -66,22 +74,37 @@ def run_kg_pipeline(
     # skipping that was the tokenizer-stage scaling fix (BASELINE.md
     # round-2 per-stage audit). extract_candidates over an explicit
     # sentence table remains for sentence-level consumers.
-    labeled, fp = cp.stage(
-        "labeled",
-        {"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
-         "cooccur_gap": cooccur_gap, "fused": True},
-        lambda: apply_lfs(
+    def _labeled_chain(pages_ds, batch_size=None):
+        return apply_lfs(
             extract_candidates_fused(
                 extract_docs(
-                    pages.map_batches(_lang_filter, batch_format="pyarrow")
+                    pages_ds.map_batches(_lang_filter, batch_format="pyarrow")
                 ),
                 alias_ref,
                 cooccur_pred=cooccur_pred,
                 cooccur_gap=cooccur_gap,
+                batch_size=batch_size,
             ),
             kb_ref,
             concurrency=concurrency,
-        ),
+        )
+
+    def _build_labeled():
+        if giant_page_bytes is None:
+            return _labeled_chain(pages)
+        from ..stages.skew import split_by_row_size
+
+        normal, giant = split_by_row_size(pages, "html",
+                                          max_bytes=giant_page_bytes)
+        return _labeled_chain(normal).union(
+            _labeled_chain(giant, batch_size=1))
+
+    labeled, fp = cp.stage(
+        "labeled",
+        {"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
+         "cooccur_gap": cooccur_gap, "fused": True,
+         "giant_page_bytes": giant_page_bytes},
+        _build_labeled,
     )
     if fit_sample_rows is not None:
         # one-pass mode: fit the label model on a bounded sample prefix

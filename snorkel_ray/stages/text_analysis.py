@@ -26,6 +26,10 @@ _LANG_MARKERS: dict[str, frozenset] = {
     "de": frozenset("der die das und ist von zu mit den im für auf ein eine".split()),
     "es": frozenset("el la los las de y en que un una es por con para".split()),
     "fr": frozenset("le la les de et un une est dans pour que des au".split()),
+    "it": frozenset("il lo la gli le di e che un una per con del della".split()),
+    "pt": frozenset("o os as de e que um uma não com para por mais".split()),
+    "nl": frozenset("de het een en van dat is op te met voor zijn niet".split()),
+    "sv": frozenset("och att det som en på är av för med den till inte".split()),
 }
 
 _STOPWORDS_EN = _LANG_MARKERS["en"] | frozenset("a an it this by be or".split())

@@ -166,3 +166,19 @@ def test_cc_distributed_path_matches_union_find(ray_session):
     for n in small.index:
         assert small[n] == dist[n], n
     assert small["n6"] == "n0" and small["x2"] == "x1" and small["z8"] == "z8"
+
+
+def test_giant_page_routing_preserves_output(ray_session, kb):
+    """giant_page_bytes routes oversized pages through single-row
+    batches; the triple set must be identical to the unrouted run."""
+    base, _ = run_kg_pipeline(pages_dataset(150, SEED), alias_table(kb),
+                              kb["facts"])
+    routed, _ = run_kg_pipeline(pages_dataset(150, SEED), alias_table(kb),
+                                kb["facts"], giant_page_bytes=600)
+    a = base.to_pandas().sort_values(["subj_qid", "pred", "obj_qid"]) \
+        .reset_index(drop=True)
+    b = routed.to_pandas().sort_values(["subj_qid", "pred", "obj_qid"]) \
+        .reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a[["subj_qid", "pred", "obj_qid"]].equals(
+        b[["subj_qid", "pred", "obj_qid"]])
