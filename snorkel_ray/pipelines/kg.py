@@ -43,6 +43,7 @@ def run_kg_pipeline(
     cooccur_pred: str | None = None,
     cooccur_gap: int = 3,
     fit_sample_rows: int | None = None,
+    fit_sample_fraction: float | None = None,
     canonicalize: bool = False,
     diagnostics: bool = False,
     giant_page_bytes: int | None = None,
@@ -106,13 +107,26 @@ def run_kg_pipeline(
          "giant_page_bytes": giant_page_bytes},
         _build_labeled,
     )
-    if fit_sample_rows is not None:
-        # one-pass mode: fit the label model on a bounded sample prefix
-        # (exact EM over ≤3^K patterns converges identically on any
-        # decent sample), then the single full streaming pass scores —
-        # no mid-pipeline materialization, no second pass. This is the
-        # 100 TB shape; the default 2-pass keeps exact full-corpus fit.
-        counts = pattern_counts(labeled.limit(fit_sample_rows))
+    if fit_sample_rows is not None or fit_sample_fraction is not None:
+        # one-pass mode: fit the label model on a bounded sample, then
+        # the single full streaming pass scores — no mid-pipeline
+        # materialization. This is the 100 TB shape; the default 2-pass
+        # keeps exact full-corpus fit.
+        #
+        # fit_sample_rows uses limit() — a PREFIX: cheapest (the fit
+        # pass stops reading early) but biased when the corpus is
+        # sorted/clustered by site or topic. fit_sample_fraction uses a
+        # seeded random_sample — unbiased, at the cost of the fit pass
+        # scanning the whole corpus. Pick by how your input is laid out
+        # (same tradeoff family as fit_centroids/detect_hot_keys,
+        # round-1 verdict item 7).
+        if fit_sample_fraction is not None:
+            fit_input = labeled.random_sample(fit_sample_fraction, seed=41)
+            if fit_sample_rows is not None:
+                fit_input = fit_input.limit(fit_sample_rows)
+        else:
+            fit_input = labeled.limit(fit_sample_rows)
+        counts = pattern_counts(fit_input)
     else:
         if checkpoint_dir is None:
             # two consumers (stats + scoring) — pin the small/medium

@@ -182,3 +182,13 @@ def test_giant_page_routing_preserves_output(ray_session, kb):
     assert len(a) == len(b) > 0
     assert a[["subj_qid", "pred", "obj_qid"]].equals(
         b[["subj_qid", "pred", "obj_qid"]])
+
+
+def test_fit_sample_fraction_mode(ray_session, kb):
+    """Unbiased one-pass fit: random_sample fraction instead of the
+    prefix limit — quality unchanged on the synthetic corpus."""
+    triples, _ = run_kg_pipeline(pages_dataset(200, SEED), alias_table(kb),
+                                 kb["facts"], fit_sample_fraction=0.5)
+    got = pa.Table.from_pandas(triples.to_pandas())
+    res = evaluate_triples(got, expected_triples(200, SEED))
+    assert res["precision"] >= 0.95 and res["recall"] >= 0.95
