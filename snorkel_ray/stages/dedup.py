@@ -47,22 +47,46 @@ def add_content_hash(ds, column: str, out: str = "content_hash"):
 
 
 def exact_dedup(ds, column: str, *, keep_key: str | None = None):
-    """Keep one row per distinct ``column`` value.  Hash-partition on
-    the content hash, per-group first — deterministic when ``keep_key``
-    names a tie-break column (min wins), else arbitrary-but-stable
-    within a run."""
+    """Keep one row per distinct ``column`` value.
+
+    With ``keep_key`` (deterministic: the min key wins) the plan is
+    fully vectorized: hash ``aggregate(Min(keep_key))`` per content
+    hash → winners map → filter rows whose key equals the winner.  At
+    10^12 mostly-unique documents a per-group ``map_groups`` would pay
+    ~0.1 ms of pandas overhead per (near-singleton) group — the same
+    tax removed from LSH banding; the aggregate path has none.
+
+    Without ``keep_key`` there is no deterministic winner to name, so
+    the per-group-first fallback remains (arbitrary-but-stable within a
+    run)."""
     hashed = add_content_hash(ds, column)
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        if keep_key is not None:
-            g = g.sort_values(keep_key, kind="stable")
-        return g.head(1)
+    if keep_key is None:
+        def _first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.head(1)
 
-    return (
-        hashed.groupby("content_hash")
-        .map_groups(_first, batch_format="pandas")
-        .drop_columns(["content_hash"])
-    )
+        return (hashed.groupby("content_hash")
+                .map_groups(_first, batch_format="pandas")
+                .drop_columns(["content_hash"]))
+
+    from ray.data.aggregate import Min
+
+    from .joins import apply_mapping
+
+    hashed = hashed.materialize()  # consumed by winners agg + filter pass
+    winners = hashed.groupby("content_hash").aggregate(
+        Min(keep_key, alias_name="_keeper"))
+    with_keeper = apply_mapping(hashed, winners, "content_hash",
+                                "content_hash", "_keeper", "_keeper")
+
+    def _filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.cast(b.column(keep_key), b.column("_keeper").type),
+                        b.column("_keeper"))
+        return b.filter(keep).drop_columns(["content_hash", "_keeper"])
+
+    return with_keeper.map_batches(_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -163,19 +187,39 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
     from .joins import apply_mapping
 
     def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_pylist()
-        sig_list = batch.column("sig").to_pylist()
-        b_key, b_doc = [], []
-        for i, sig in enumerate(sig_list):
-            r = len(sig) // bands
+        """Vectorized band-bucket keys: the (n, num_perm) signature
+        matrix is reduced per band with position-mixed multiply-xor (no
+        per-row blake2b — at 10^12 docs × 16 bands that loop would be
+        the hot path).  Bucket key = band index tag + mixed uint64."""
+        n = batch.num_rows
+        sig_col = batch.column("sig")
+        flat = np.asarray(sig_col.combine_chunks().flatten()
+                          if isinstance(sig_col, pa.ChunkedArray)
+                          else sig_col.flatten(), dtype=np.uint64)
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.uint64()),
+                             "doc": batch.column(id_column)})
+        num_perm = flat.size // n
+        r = num_perm // bands
+        S = flat.reshape(n, num_perm)
+        keys = []
+        with np.errstate(over="ignore"):
             for b in range(bands):
-                h = hashlib.blake2b(np.asarray(sig[b * r : (b + 1) * r],
-                                               dtype=np.uint64).tobytes(),
-                                    digest_size=8).hexdigest()
-                b_key.append(f"{b}:{h}")
-                b_doc.append(ids[i])
-        return pa.table({"bkey": pa.array(b_key, pa.string()),
-                         "doc": pa.array(b_doc)})
+                seg = S[:, b * r : (b + 1) * r]
+                acc = np.full(n, (0x9E3779B97F4A7C15 * (b + 1)) & 0xFFFFFFFFFFFFFFFF,
+                              dtype=np.uint64)
+                for j in range(r):
+                    acc = (acc ^ (seg[:, j] * _POS_MIX[j % len(_POS_MIX)])) \
+                        * np.uint64(0x100000001B3)
+                keys.append(acc)
+        # the band index is folded into each band's mix seed, so the
+        # mixed uint64 alone is the bucket key — no string formatting
+        bkeys = np.stack(keys, axis=1).reshape(-1)  # row-major: doc0 b0..bB
+        doc_rep = np.repeat(np.arange(n), bands)
+        return pa.table({
+            "bkey": pa.array(bkeys, pa.uint64()),
+            "doc": batch.column(id_column).take(pa.array(doc_rep, pa.int64())),
+        })
 
     # exploded is consumed twice (anchor agg + anchor apply) — pin it;
     # at planet scale prefer recomputing the signature chain over
