@@ -53,22 +53,32 @@ def _pattern_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _accumulate_pattern_counts(partial) -> "pa.Table":
+    """Stream the per-block partials into an O(#patterns) driver dict —
+    NOT ``to_pandas()``: the partial stream is ≤ 3^K × num_blocks rows,
+    which at 10^12 docs (millions of blocks) would itself be billions
+    of rows; incremental accumulation keeps driver memory bounded by
+    the pattern space regardless of block count."""
+    acc: dict[bytes, int] = {}
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        if "pattern" not in b.schema.names:
+            continue
+        for p, n in zip(b.column("pattern").to_pylist(),
+                        b.column("n").to_pylist()):
+            acc[p] = acc.get(p, 0) + n
+    keys = sorted(acc)
+    return pa.table({"pattern": pa.array(keys, pa.binary()),
+                     "n": pa.array([acc[k] for k in keys], pa.int64())})
+
+
 def pattern_counts(labeled) -> "pa.Table":
     """labeled Dataset (with L column) → tiny driver-side table of
-    (pattern bytes, count). Pre-aggregated per batch; the per-batch
-    partials are ≤ 3^K × num_blocks rows, so the FINAL merge happens on
-    the driver (pandas groupby) instead of a Dataset all-to-all — an
-    AllToAll appended to the live map chain costs seconds of fixed
-    shuffle setup for kilobytes of data (SURVEY.md A2/A3 partial+final;
-    the reference's matrix stats are driver-side too)."""
+    (pattern bytes, count). Pre-aggregated per block, then streamed
+    into a bounded driver accumulator (SURVEY.md A2/A3 partial+final;
+    no Dataset all-to-all — an AllToAll appended to the live map chain
+    costs seconds of fixed shuffle setup for kilobytes of data)."""
     partial = labeled.map_batches(_pattern_counts_batch, batch_format="pyarrow")
-    df = partial.to_pandas()  # ≤ 3^K × blocks rows — tiny
-    if len(df) == 0 or "pattern" not in df.columns:  # empty corpus
-        return pa.table({"pattern": pa.array([], pa.binary()),
-                         "n": pa.array([], pa.int64())})
-    agg = df.groupby("pattern", sort=True)["n"].sum().reset_index()
-    return pa.table({"pattern": pa.array(agg["pattern"].tolist(), pa.binary()),
-                     "n": pa.array(agg["n"].to_numpy(), pa.int64())})
+    return _accumulate_pattern_counts(partial)
 
 
 # ---------------------------------------------------------------------------
@@ -206,15 +216,10 @@ def _pattern_counts_batch_cat(batch: pa.Table) -> pa.Table:
 
 def pattern_counts_cat(labeled) -> "pa.Table":
     """Categorical-vote twin of ``pattern_counts`` (votes {0..k} pack
-    into uint8 bytes directly; ≤ (k+1)^K patterns, bounded per batch)."""
+    into uint8 bytes directly; ≤ (k+1)^K patterns, bounded per batch;
+    same streaming driver accumulator)."""
     partial = labeled.map_batches(_pattern_counts_batch_cat, batch_format="pyarrow")
-    df = partial.to_pandas()
-    if len(df) == 0 or "pattern" not in df.columns:
-        return pa.table({"pattern": pa.array([], pa.binary()),
-                         "n": pa.array([], pa.int64())})
-    agg = df.groupby("pattern", sort=True)["n"].sum().reset_index()
-    return pa.table({"pattern": pa.array(agg["pattern"].tolist(), pa.binary()),
-                     "n": pa.array(agg["n"].to_numpy(), pa.int64())})
+    return _accumulate_pattern_counts(partial)
 
 
 def fit_label_model_cat(counts: pa.Table, cardinality: int, *, n_iter: int = 300,
@@ -367,14 +372,20 @@ def lf_stats(labeled, lf_names: list[str]) -> "pa.Table":
     ``lf_stats`` semantics; same no-AllToAll rationale as
     ``pattern_counts``)."""
     partial = labeled.map_batches(_lf_stats_batch, batch_format="pyarrow")
-    df = (partial.to_pandas().groupby("lf_idx", sort=True)
-          [["n_rows", "n_labeled", "n_overlap", "n_conflict"]].sum().reset_index())
-    n = df["n_rows"].to_numpy().astype(np.float64)
+    K = len(lf_names)
+    acc = np.zeros((K, 4), dtype=np.int64)  # rows, labeled, overlap, conflict
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        if "lf_idx" not in b.schema.names or b.num_rows == 0:
+            continue
+        idx = np.asarray(b.column("lf_idx"))
+        for j, col in enumerate(("n_rows", "n_labeled", "n_overlap", "n_conflict")):
+            np.add.at(acc[:, j], idx, np.asarray(b.column(col)))
+    n = np.maximum(acc[:, 0].astype(np.float64), 1)
     return pa.table(
         {
-            "lf_name": pa.array([lf_names[i] for i in df["lf_idx"]], pa.string()),
-            "coverage": pa.array(df["n_labeled"] / np.maximum(n, 1), pa.float64()),
-            "overlap": pa.array(df["n_overlap"] / np.maximum(n, 1), pa.float64()),
-            "conflict": pa.array(df["n_conflict"] / np.maximum(n, 1), pa.float64()),
+            "lf_name": pa.array(list(lf_names), pa.string()),
+            "coverage": pa.array(acc[:, 1] / n, pa.float64()),
+            "overlap": pa.array(acc[:, 2] / n, pa.float64()),
+            "conflict": pa.array(acc[:, 3] / n, pa.float64()),
         }
     )

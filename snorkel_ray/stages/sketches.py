@@ -85,8 +85,11 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
         h.add_batch(batch.column(column).to_pylist())
         return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
 
-    parts = ds.map_batches(_sketch, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(_sketch, batch_format="pyarrow")
     acc = HLL(p)
-    for blob in parts["sketch"]:
-        acc = acc.merge(HLL.deserialize(blob))
+    # streamed merge: one sketch row per block; never materialize the
+    # partial stream (at millions of blocks even sketch rows add up)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b.column("sketch").to_pylist():
+            acc = acc.merge(HLL.deserialize(blob))
     return acc.estimate()
