@@ -110,16 +110,23 @@ def score_vs_gold(scored, gold: pa.Table, *, threshold: float = 0.5) -> dict:
                          "fp_ids": pa.array([fp_ids], pa.list_(pa.string())),
                          "fn_ids": pa.array([fn_ids], pa.list_(pa.string()))})
 
-    parts = scored.map_batches(_confusion, batch_format="pyarrow").to_pandas()
-    tp, fp, tn, fn = (int(parts[c].sum()) for c in ("tp", "fp", "tn", "fn"))
+    parts = scored.map_batches(_confusion, batch_format="pyarrow")
+    counts = {"tp": 0, "fp": 0, "tn": 0, "fn": 0}
+    ids = {"tp_ids": [], "fp_ids": [], "fn_ids": []}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for c in counts:
+            counts[c] += int(np.asarray(b.column(c)).sum())
+        for c in ids:  # error sets are bounded by error count (ref semantics)
+            for lst in b.column(c).to_pylist():
+                ids[c].extend(lst)
+    tp, fp, tn, fn = counts["tp"], counts["fp"], counts["tn"], counts["fn"]
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-    flat = lambda col: [x for lst in parts[col] for x in lst]  # noqa: E731
     return {"tp": tp, "fp": fp, "tn": tn, "fn": fn,
             "precision": prec, "recall": rec, "f1": f1,
-            "tp_ids": flat("tp_ids"), "fp_ids": flat("fp_ids"),
-            "fn_ids": flat("fn_ids")}
+            "tp_ids": ids["tp_ids"], "fp_ids": ids["fp_ids"],
+            "fn_ids": ids["fn_ids"]}
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +158,10 @@ def candidate_coverage(labeled) -> dict:
         return pa.table({"n": pa.array([n], pa.int64()),
                          "covered": pa.array([covered], pa.int64())})
 
-    parts = labeled.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    n, covered = int(parts["n"].sum()), int(parts["covered"].sum())
+    parts = labeled.map_batches(_partial, batch_format="pyarrow")
+    n = covered = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        n += int(np.asarray(b.column("n")).sum())
+        covered += int(np.asarray(b.column("covered")).sum())
     return {"n_candidates": n, "n_covered": covered,
             "coverage": covered / n if n else 0.0}

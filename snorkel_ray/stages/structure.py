@@ -43,16 +43,28 @@ def _moments_batch(batch: pa.Table) -> pa.Table:
 def lf_moments(labeled) -> dict:
     """→ {"n", "fire"[K], "agree"[K,K], "cofire"[K,K]} — tree-reduced
     partials; payload is O(K²) floats regardless of corpus size."""
-    parts = labeled.map_batches(_moments_batch, batch_format="pyarrow").to_pandas()
-    parts = parts[parts["K"] > 0]
-    if len(parts) == 0:
+    parts = labeled.map_batches(_moments_batch, batch_format="pyarrow")
+    n, K = 0, 0
+    fire = agree = cofire = None
+    # streamed accumulation — one O(K²) partial row per block; never
+    # materialize the whole partial stream on the driver
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            k = int(b.column("K")[i].as_py())
+            if k == 0:
+                continue
+            if fire is None:
+                K = k
+                fire = np.zeros(K)
+                agree = np.zeros((K, K))
+                cofire = np.zeros((K, K))
+            n += int(b.column("n")[i].as_py())
+            fire += np.asarray(b.column("fire")[i].as_py())
+            agree += np.asarray(b.column("agree")[i].as_py()).reshape(K, K)
+            cofire += np.asarray(b.column("cofire")[i].as_py()).reshape(K, K)
+    if fire is None:
         return {"n": 0, "fire": np.zeros(0), "agree": np.zeros((0, 0)),
                 "cofire": np.zeros((0, 0))}
-    K = int(parts["K"].iloc[0])
-    n = int(parts["n"].sum())
-    fire = np.sum([np.asarray(x) for x in parts["fire"]], axis=0)
-    agree = np.sum([np.asarray(x).reshape(K, K) for x in parts["agree"]], axis=0)
-    cofire = np.sum([np.asarray(x).reshape(K, K) for x in parts["cofire"]], axis=0)
     return {"n": n, "fire": fire, "agree": agree, "cofire": cofire}
 
 
