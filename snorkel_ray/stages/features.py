@@ -60,39 +60,50 @@ def build_feature_vocab(candidates, *, feature_fn: FeatureFn = default_candidate
         return pa.table({"name": pa.array(ks, pa.string()),
                          "n": pa.array([counts[k] for k in ks], pa.int64())})
 
-    agg = (candidates.map_batches(_names, batch_format="pyarrow", batch_size=8192)
+    import pyarrow.compute as pc
+
+    agg = (candidates.map_batches(_names, batch_format="pyarrow")
            .groupby("name").aggregate(Sum("n", alias_name="n")))
-    df = agg.to_pandas()
-    df = df[df["n"] >= min_count].sort_values(["n", "name"], ascending=[False, True])
-    df = df.head(max_vocab)
+    # top-k INSIDE the Dataset (filter → distributed sort → limit):
+    # only max_vocab rows ever reach the driver — the full distinct
+    # feature-name table at web scale is far larger than the vocab cap
+    top = (agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
+        batch_format="pyarrow")
+        .sort(["n", "name"], descending=[True, False])
+        .limit(max_vocab))
+    df = top.to_pandas()
     return {name: i for i, name in enumerate(df["name"])}
+
+
+_VOCAB_CACHE: dict = {}
 
 
 def featurize(candidates, vocab: dict[str, int], *,
               feature_fn: FeatureFn = default_candidate_features,
-              batch_size: int = 8192):
+              batch_size: int | None = None):
     """Pass 2: broadcast vocab → per-candidate sorted feature-id lists
     (the reference's sparse Feature EAV rows become one list<int32>
-    column)."""
+    column).  Elastic tasks with a per-worker-process vocab cache
+    (CLAUDE.md rules 2-3: an actor pool would cap the fused chain, and
+    a fixed batch_size would re-batch it)."""
     import ray
 
     v_ref = ray.put(vocab)
+    key = v_ref.hex()
 
-    class _Featurize:
-        def __init__(self):
-            self.vocab = ray.get(v_ref)
+    def _featurize(batch: pa.Table) -> pa.Table:
+        from ..state.resources import cache_get_or_build
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = batch.select(list(_FEAT_COLS)).to_pylist()
-            feats = []
-            for row in rows:
-                ids = {self.vocab[n] for n in feature_fn(row) if n in self.vocab}
-                feats.append(sorted(ids))
-            return batch.append_column(
-                "feature_ids", pa.array(feats, pa.list_(pa.int32())))
+        local_vocab = cache_get_or_build(_VOCAB_CACHE, key,
+                                         lambda: ray.get(v_ref))
+        rows = batch.select(list(_FEAT_COLS)).to_pylist()
+        feats = []
+        for row in rows:
+            ids = {local_vocab[n] for n in feature_fn(row) if n in local_vocab}
+            feats.append(sorted(ids))
+        return batch.append_column(
+            "feature_ids", pa.array(feats, pa.list_(pa.int32())))
 
-    from ..state.resources import pool_concurrency
-
-    return candidates.map_batches(_Featurize, batch_format="pyarrow",
-                                  batch_size=batch_size,
-                                  concurrency=pool_concurrency())
+    return candidates.map_batches(_featurize, batch_format="pyarrow",
+                                  batch_size=batch_size)
