@@ -214,6 +214,8 @@ def run_kg_pipeline_sharded(
     num_shards: int = 4,
     lang: str = "en",
     threshold: float = 0.5,
+    cooccur_pred: str | None = None,
+    cooccur_gap: int = 3,
     input_fingerprint: str = "pages",
     input_paths: list[str] | None = None,
 ):
@@ -244,7 +246,9 @@ def run_kg_pipeline_sharded(
             lambda b: b.filter(pc.equal(b.column("lang"), lang)),
             batch_format="pyarrow")
         return apply_lfs(
-            extract_candidates_fused(extract_docs(filtered), alias_ref),
+            extract_candidates_fused(extract_docs(filtered), alias_ref,
+                                     cooccur_pred=cooccur_pred,
+                                     cooccur_gap=cooccur_gap),
             kb_ref)
 
     shards = None
@@ -258,7 +262,8 @@ def run_kg_pipeline_sharded(
 
     dirs, manifests = run_sharded_stage(
         pages, root, "labeled", build, num_shards=num_shards,
-        params={"lang": lang, "lfs": "kg_v1"},
+        params={"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
+                "cooccur_gap": cooccur_gap},
         input_fingerprint=input_fingerprint, shards=shards)
 
     files = [os.path.join(d, f) for d in dirs

@@ -127,3 +127,22 @@ def test_shard_fingerprint_tracks_file_group(ray_session, tmp_path):
     # drop one file -> round-robin shifts -> affected shards recompute
     _, m3 = run(paths[:3])
     assert any(not m["skipped"] for m in m3)
+
+
+def test_sharded_matches_streaming_triples(ray_session, tmp_path):
+    """The shard-resumable plan must emit the SAME triple set as the
+    streaming flagship on identical input (the resume machinery is
+    partitioning, not semantics)."""
+    from snorkel_ray.pipelines.kg import run_kg_pipeline
+
+    kb = build_kb(42)
+    pages = pages_dataset(200, 42)
+    stream, _ = run_kg_pipeline(pages_dataset(200, 42), alias_table(kb),
+                                kb["facts"])
+    shard, _ = run_kg_pipeline_sharded(pages, alias_table(kb), kb["facts"],
+                                       root=str(tmp_path / "p"), num_shards=3)
+    key = ["subj_qid", "pred", "obj_qid"]
+    a = stream.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    b = shard.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
