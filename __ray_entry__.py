@@ -357,14 +357,14 @@ def q_token_counts(sf_dir: str):
     whitespace count is SQL-expressible exactly."""
     from ray.data.aggregate import Sum
 
-    from snorkel_ray.stages.text_analysis import count_tokens
-
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def _tok(b: pa.Table) -> pa.Table:
-        ws = [count_tokens(t)[0] for t in b.column("text").to_pylist()]
+        # vectorized whitespace-token count (pyarrow kernels; matches
+        # the oracle's string_split(text, ' ') exactly)
+        n = pc.list_value_length(pc.split_pattern(b.column("text"), " "))
         return pa.table({"lang": b.column("lang"),
-                         "n_tokens": pa.array(ws, pa.int64())})
+                         "n_tokens": pc.cast(n, pa.int64())})
 
     return (ds.map_batches(_tok, batch_format="pyarrow")
             .groupby("lang").aggregate(Sum("n_tokens", alias_name="total_tokens"))
@@ -381,14 +381,12 @@ def q_mention_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
     def _scan(b: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {a: 0 for a in alias}
-        for t in b.column("text").to_pylist():
-            for w in t.split(" "):
-                if w in alias:
-                    counts[w] += 1
-        ks = sorted(counts)
-        return pa.table({"alias": pa.array(ks, pa.string()),
-                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+        # vectorized: split → flatten → filter to alias set → value_counts
+        words = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        hits = words.filter(pc.is_in(words, value_set=pa.array(sorted(alias))))
+        vc = hits.value_counts()
+        return pa.table({"alias": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = (ds.map_batches(_scan, batch_format="pyarrow")
            .groupby("alias").aggregate(Sum("n", alias_name="n_mentions")))
@@ -406,11 +404,15 @@ def q_lf_keyword_coverage(sf_dir: str):
     kws = ["spark", "query", "stream"]
 
     def _lf(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
+        # vectorized per-LF coverage: word-boundary regex over the
+        # whole column per keyword (equivalent to token membership on
+        # space-separated text)
         rows_lf, rows_n = [], []
         for kw in kws:
+            fired = pc.match_substring_regex(
+                b.column("text"), f"(^|\\s){kw}(\\s|$)")
             rows_lf.append(f"lf_contains_{kw}")
-            rows_n.append(sum(1 for t in texts if kw in t.split(" ")))
+            rows_n.append(int(pc.sum(pc.cast(fired, pa.int64())).as_py() or 0))
         return pa.table({"lf_name": pa.array(rows_lf, pa.string()),
                          "n_fired": pa.array(rows_n, pa.int64())})
 
@@ -503,10 +505,9 @@ def q_word_count_salted(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
     def _explode(b: pa.Table) -> pa.Table:
-        words = []
-        for t in b.column("text").to_pylist():
-            words.extend(t.split(" "))
-        return pa.table({"word": pa.array(words, pa.string())})
+        # vectorized explode: split → flatten (no Python row loop)
+        words = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        return pa.table({"word": words})
 
     exploded = ds.map_batches(_explode, batch_format="pyarrow")
     out = salted_count(exploded, "word", count_alias="n_occurrences")
