@@ -119,8 +119,26 @@ class TextAnalyzer:
         )
 
 
-def analyze_text(ds, *, column: str = "text", batch_size: int = 2048,
-                 concurrency=None):
+_ANALYZER_CACHE: dict = {}
+
+
+def analyze_text(ds, *, column: str = "text", batch_size: int | None = None,
+                 concurrency=None, as_tasks: bool = True):
+    """Default: elastic tasks with a per-worker analyzer cache — the
+    state (compiled regex profiles) is light, and an actor pool would
+    cap whatever chain this fuses into (CLAUDE.md rule 2).  Pass
+    ``as_tasks=False`` to pin an actor pool (e.g. if a model-backed
+    analyzer replaces the heuristics)."""
+    if as_tasks:
+        def _analyze(batch: pa.Table) -> pa.Table:
+            from ..state.resources import cache_get_or_build
+
+            inst = cache_get_or_build(_ANALYZER_CACHE, column,
+                                      lambda: TextAnalyzer(column))
+            return inst(batch)
+
+        return ds.map_batches(_analyze, batch_format="pyarrow",
+                              batch_size=batch_size)
     if concurrency is None:
         from ..state.resources import pool_concurrency
 
