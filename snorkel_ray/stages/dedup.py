@@ -462,24 +462,51 @@ def simhash_near_dup_pairs(ds, column: str, id_column: str, *, max_hamming: int 
     """Near-dup candidate pairs by SimHash block-banding: split the 64
     bits into ``blocks`` bands; two docs within ``max_hamming`` bits
     share at least one exact band (pigeonhole when blocks > max_hamming)
-    → groupby band value, verify Hamming distance within buckets."""
+    → groupby band value, verify Hamming distance within buckets.
+
+    Scale shape: band extraction is one numpy shift per band (no
+    per-row loop), and the per-bucket O(m²) verify only ever runs on
+    buckets with ≥2 members — a Count aggregate + mapping filter drops
+    the near-singleton buckets BEFORE ``map_groups`` (the ~0.1 ms
+    pandas-per-group tax measured on LSH banding)."""
+    from ray.data.aggregate import Count
+
+    from .joins import apply_mapping
+
     hashed = add_simhash(ds, column)
     width = 64 // blocks
 
     def _bands(batch: pa.Table) -> pa.Table:
         hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch.column(id_column).to_pylist()
-        b_id, b_val, b_doc, b_full = [], [], [], []
-        for i, h in enumerate(hs):
-            for b in range(blocks):
-                b_id.append(b)
-                b_val.append(int((int(h) >> (b * width)) & ((1 << width) - 1)))
-                b_doc.append(ids[i])
-                b_full.append(int(h))
-        return pa.table({"band": pa.array(b_id, pa.int32()),
-                         "value": pa.array(b_val, pa.uint64()),
-                         "doc": pa.array(b_doc),
-                         "full": pa.array(b_full, pa.uint64())})
+        n = len(hs)
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.string()),
+                             "doc": batch.column(id_column),
+                             "full": pa.array([], pa.uint64())})
+        mask = np.uint64((1 << width) - 1)
+        vals = np.stack([(hs >> np.uint64(b * width)) & mask
+                         for b in range(blocks)], axis=1)  # (n, blocks)
+        flat = vals.reshape(-1)
+        band_tag = np.tile(np.arange(blocks), n)
+        doc_rep = pa.array(np.repeat(np.arange(n), blocks), pa.int64())
+        bkeys = [f"{band_tag[i]}:{flat[i]:x}" for i in range(len(flat))]
+        return pa.table({
+            "bkey": pa.array(bkeys, pa.string()),
+            "doc": batch.column(id_column).take(doc_rep),
+            "full": pa.array(np.repeat(hs, blocks), pa.uint64()),
+        })
+
+    exploded = hashed.map_batches(_bands, batch_format="pyarrow").materialize()
+    counts = exploded.groupby("bkey").aggregate(Count(alias_name="_n"))
+    import pyarrow.compute as pc
+
+    collide = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("_n"), 1)),
+        batch_format="pyarrow")
+    flagged = apply_mapping(exploded, collide, "bkey", "bkey", "_n", "_n")
+    members = flagged.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("_n"))),
+        batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc").sort_values("doc")
@@ -495,8 +522,7 @@ def simhash_near_dup_pairs(ds, column: str, id_column: str, *, max_hamming: int 
                     rows["hamming"].append(d)
         return pd.DataFrame(rows)
 
-    exploded = hashed.map_batches(_bands, batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "value"]).map_groups(_pairs, batch_format="pandas")
+    pairs = members.groupby("bkey").map_groups(_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
