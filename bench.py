@@ -64,7 +64,13 @@ def run_bench() -> dict:
         pages_dataset(BENCH_PAGES, 42).write_parquet(pages_path)
         with open(marker, "w") as f:
             f.write("ok")
-    rd.read_parquet(pages_path).count()  # warm page cache, untimed
+    # warm the page cache with a REAL data read (count() alone answers
+    # from parquet metadata and leaves the file bytes cold), untimed
+    import pyarrow as pa
+
+    rd.read_parquet(pages_path).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow").count()
 
     n_triples = 0
 
