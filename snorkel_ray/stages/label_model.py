@@ -187,6 +187,28 @@ def score_marginals(labeled, model: dict, *, batch_size: int | None = None):
     return labeled.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
 
 
+def save_model(model: dict, path: str) -> None:
+    """Persist fitted label-model weights (binary or categorical) —
+    the reference pickles ``GenerativeModel`` via its save/load
+    (``snorkel/learning/gen_learning.py`` ≈L700); here a plain .npz so
+    a later run can score without refitting (resume-friendly)."""
+    np.savez(path,
+             theta=np.asarray(model["theta"]),
+             pi=np.asarray(model["pi"]),
+             alpha=np.asarray(model.get("alpha", [])),
+             cardinality=np.asarray(model.get("cardinality", 2)))
+
+
+def load_model(path: str) -> dict:
+    with np.load(path) as z:
+        out = {"theta": z["theta"], "cardinality": int(z["cardinality"])}
+        pi = z["pi"]
+        out["pi"] = float(pi) if pi.ndim == 0 else pi
+        if z["alpha"].size:
+            out["alpha"] = z["alpha"]
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Categorical (cardinality k > 2) label model — reference
 # ``GenerativeModel`` + ``candidate_subclass(..., cardinality=k)``

@@ -117,3 +117,31 @@ def test_categorical_label_model_recovery(ray_session):
         fired = L[:, k] != 0
         lf_acc = float((L[fired, k] == y[fired]).mean())
         assert model_acc > lf_acc - 0.02
+
+
+def test_model_save_load_roundtrip(ray_session, tmp_path):
+    """Fitted weights persist to .npz and score identically after
+    reload (resume a scoring run without refitting)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from snorkel_ray.stages.label_model import (fit_label_model, load_model,
+                                                pattern_counts, posterior,
+                                                save_model, score_marginals)
+
+    rng = np.random.default_rng(2)
+    n, K = 2000, 4
+    L = rng.choice([-1, 0, 1], size=(n, K), p=[0.2, 0.5, 0.3]).astype(np.int8)
+    off = pa.array(np.arange(0, (n + 1) * K, K, dtype=np.int32))
+    ds = rd.from_arrow(pa.table({"L": pa.ListArray.from_arrays(
+        off, pa.array(L.reshape(-1), pa.int8()))})).repartition(4).materialize()
+
+    model = fit_label_model(pattern_counts(ds))
+    p = str(tmp_path / "model.npz")
+    save_model(model, p)
+    loaded = load_model(p)
+    assert np.allclose(loaded["theta"], model["theta"])
+    a = score_marginals(ds, model).to_pandas()["p"]
+    b = score_marginals(ds, loaded).to_pandas()["p"]
+    assert np.allclose(sorted(a), sorted(b))
