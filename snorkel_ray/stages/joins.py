@@ -51,6 +51,15 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
     # twice; the mapping lives in the object store either way
     mapping = mapping.materialize()
     n = mapping.count()
+    if n == 0:
+        # empty Datasets lose their columns through to_pandas (known
+        # ray 2.49 pitfall) — short-circuit: everything maps to default
+        def _empty(b: pa.Table) -> pa.Table:
+            col = (b.column(default_col) if default_col is not None
+                   else pa.nulls(b.num_rows))
+            return b.append_column(out_col, col)
+
+        return ds.map_batches(_empty, batch_format="pyarrow")
     if n <= broadcast_limit:
         mdf = mapping.select_columns([map_key, map_value]).to_pandas()
         lookup_ref = ray.put(pd.Series(mdf[map_value].values,

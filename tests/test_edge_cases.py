@@ -67,3 +67,48 @@ def test_unicode_heavy_pages(ray_session):
     for _, r in sents.iterrows():
         for w, o in zip(r["words"], r["char_offsets"]):
             assert r["text"][o : o + len(w)] == w
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Round-2 operators must survive empty inputs (schema-stable, no
+    crash): n-ary extraction, categorical pattern counts, apply_mapping,
+    session pre-split, simhash pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from snorkel_ray.functions.matchers import DictionaryMatch
+    from snorkel_ray.stages.joins import apply_mapping
+    from snorkel_ray.stages.label_model import (fit_label_model_cat,
+                                                pattern_counts_cat)
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates
+    from snorkel_ray.stages.windows import session_windows
+
+    empty_sents = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.uint64()), "url": pa.array([], pa.string()),
+        "sent_idx": pa.array([], pa.int32()),
+        "sent_stable_id": pa.array([], pa.string()),
+        "abs_char_start": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string()),
+        "words": pa.array([], pa.list_(pa.string())),
+        "char_offsets": pa.array([], pa.list_(pa.int32())),
+    }))
+    cls = candidate_subclass("P", ["a", "b"])
+    m = DictionaryMatch(["x"])
+    assert extract_nary_candidates(empty_sents, cls, [m, m]).count() == 0
+
+    empty_l = rd.from_arrow(pa.table({"L": pa.array([], pa.list_(pa.int8()))}))
+    model = fit_label_model_cat(pattern_counts_cat(empty_l), cardinality=3)
+    assert model["theta"].shape[0] == 0
+
+    base = rd.from_items([{"k": "a"}, {"k": "b"}])
+    emap = pd.DataFrame({"key": [], "val": []})
+    out = apply_mapping(base, emap, "k", "key", "val", "v").to_pandas()
+    assert len(out) == 2 and out["v"].isna().all()
+
+    empty_ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    assert session_windows(empty_ev, pre_split_chunk="1D").count() == 0
