@@ -138,7 +138,7 @@ class MentionDetector:
         )
 
 
-def detect_mentions(sentences, alias_ref, *, concurrency=None, batch_size: int = 1024):
+def detect_mentions(sentences, alias_ref, *, concurrency=None, batch_size: int | None = None):
     if concurrency is None:
         from ..state.resources import pool_concurrency
 

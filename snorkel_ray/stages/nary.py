@@ -223,7 +223,7 @@ def extract_nary_candidates(sentences, cand_class: CandidateClass,
 
 
 def extract_pretagged_nary(tagged, cand_class: CandidateClass,
-                           arg_types: list[str], *, batch_size: int = 1024):
+                           arg_types: list[str], *, batch_size: int | None = None):
     """Pretagged path parity (reference
     ``PretaggedCandidateExtractor`` generalized to arity n): build
     n-ary candidates from ``entity_types`` runs, one arg per requested

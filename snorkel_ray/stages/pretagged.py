@@ -27,7 +27,7 @@ from ..functions.ids import normalize_entity_key
 Tagger = Callable[[list[str]], tuple[list[str], list[str]]]
 
 
-def tag_sentences(sentences, tagger: Tagger, *, batch_size: int = 1024):
+def tag_sentences(sentences, tagger: Tagger, *, batch_size: int | None = None):
     """Append entity_types / entity_cids list columns via ``tagger``."""
 
     def _tag(batch: pa.Table) -> pa.Table:
@@ -136,7 +136,7 @@ def _runs(types: list[str]) -> list[tuple[int, int, str]]:
 
 def extract_pretagged_candidates(tagged, subj_type: str, obj_type: str, *,
                                  pred: str = "", max_gap: int = 12,
-                                 batch_size: int = 1024):
+                                 batch_size: int | None = None):
     """Tagged sentences → candidate rows pairing subj_type × obj_type
     runs (subject first in sentence order; reference filters
     self-relations — same here via cid equality)."""
