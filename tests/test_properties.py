@@ -87,3 +87,59 @@ def test_ngram_enumeration_count(words, n_max):
     assert len(spans) == expected
     for s in spans:
         assert sent[s.char_start : s.char_end] == s.text
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll",)),
+               min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_porter_lite_stem_properties(w):
+    from snorkel_ray.functions.matchers import porter_lite_stem
+
+    s = porter_lite_stem(w)
+    # idempotent-ish: stemming a stem never grows and converges fast
+    s2 = porter_lite_stem(s)
+    assert len(s) <= len(w)
+    assert len(s2) <= len(s)
+    # inflections fold onto the base form's stem
+    if len(w) > 3 and not w.endswith(("s", "e", "d", "g")):
+        assert porter_lite_stem(w + "s") == s
+
+
+@given(st.lists(st.text(alphabet="abcdefg ", min_size=0, max_size=40),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=100, deadline=None)
+def test_shingle_hash_deterministic_and_order_sensitive(texts, k):
+    from snorkel_ray.stages.dedup import _shingle_hashes
+
+    for t in texts:
+        a = _shingle_hashes(t, k)
+        b = _shingle_hashes(t, k)
+        assert (a == b).all()  # deterministic across calls
+    # order sensitivity: reversing word order changes the shingle set
+    t = "alpha beta gamma delta epsilon"
+    fwd = set(_shingle_hashes(t, 2).tolist())
+    rev = set(_shingle_hashes(" ".join(reversed(t.split())), 2).tolist())
+    assert fwd != rev
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=0, max_size=500),
+       st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=0, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_hll_merge_associative_and_bounded(xs, ys):
+    from snorkel_ray.stages.sketches import HLL
+
+    a = HLL(10)
+    a.add_batch(xs)
+    b = HLL(10)
+    b.add_batch(ys)
+    merged = a.merge(b)
+    both = HLL(10)
+    both.add_batch(xs + ys)
+    # merge of partials == sketch of the union (register-wise identical)
+    assert (merged.registers == both.registers).all()
+    true = len(set(xs) | set(ys))
+    if true >= 100:
+        assert abs(merged.estimate() - true) / true < 0.15
