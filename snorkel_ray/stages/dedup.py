@@ -297,13 +297,14 @@ def verify_pairs_jaccard(ds, pairs, column: str, id_column: str, *,
         import ray.data as rd
 
         return rd.from_items([])  # no candidate pairs at all
-    need_ref = ray.put(need)
+    # broadcast as a ready-made Arrow value_set (built once, not per batch)
+    need_ref = ray.put(pa.array(sorted(need)))
 
     def _shingle_rows(batch: pa.Table) -> pa.Table:
-        needed = ray.get(need_ref)
-        ids = batch.column(id_column).to_pylist()
-        keep = [i for i, v in enumerate(ids) if v in needed]
-        t = batch.take(pa.array(keep, pa.int64()))
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column(id_column), value_set=ray.get(need_ref))
+        t = batch.filter(mask)
         sh = [ _shingle_hashes(x, shingle_k).tolist()
                for x in t.column(column).to_pylist() ]
         n = t.num_rows
