@@ -76,13 +76,22 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
         return ds.map_batches(_apply, batch_format="pyarrow")
 
     # shuffle path: left outer hash join on the key (mapping columns
-    # renamed to private names so they can never collide with ds's)
+    # renamed to private names so they can never collide with ds's).
+    # Partition count is clamped to the session CPUs: the hash-shuffle
+    # aggregator pool otherwise starves task operators on small
+    # sessions (the actor-pool deadlock pitfall — observed as a hang on
+    # the 4-CPU test fixture with 32 partitions).
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    nparts = max(2, min(num_partitions, cpus))
     renamed = mapping.map_batches(
         lambda b: pa.table({"__map_key": b.column(map_key),
                             out_col: b.column(map_value)}),
         batch_format="pyarrow")
     joined = ds.join(renamed, join_type="left_outer",
-                     num_partitions=num_partitions,
+                     num_partitions=nparts,
                      on=(key_col,), right_on=("__map_key",))
 
     import pyarrow.compute as pc

@@ -112,3 +112,31 @@ def test_new_ops_empty_inputs(ray_session):
         "user_id": pa.array([], pa.int64()),
         "ts": pa.array([], pa.timestamp("us"))}))
     assert session_windows(empty_ev, pre_split_chunk="1D").count() == 0
+
+
+def test_apply_mapping_shuffle_path_matches_broadcast(ray_session):
+    """Force the hash-join regime (broadcast_limit=0) and compare with
+    the broadcast regime — both must produce identical mappings,
+    including default fills for missing keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    ds = rd.from_items([{"k": f"k{i % 7}", "fallback": f"F{i}"}
+                        for i in range(100)]).repartition(4)
+    mapping = pd.DataFrame({"key": [f"k{i}" for i in range(5)],  # k5/k6 missing
+                            "val": [f"V{i}" for i in range(5)]})
+
+    def run(limit):
+        out = apply_mapping(ds, mapping.copy(), "k", "key", "val", "v",
+                            default_col="fallback",
+                            broadcast_limit=limit).to_pandas()
+        return out.sort_values(["k", "fallback"]).reset_index(drop=True)
+
+    bcast = run(10_000)
+    joined = run(0)
+    assert len(bcast) == len(joined) == 100
+    pd.testing.assert_frame_equal(bcast[["k", "v"]], joined[["k", "v"]])
+    # missing keys fell back to the row's own column in both regimes
+    assert (bcast.loc[bcast["k"].isin(["k5", "k6"]), "v"].str.startswith("F")).all()
