@@ -100,8 +100,9 @@ def test_porter_lite_stem_properties(w):
     s2 = porter_lite_stem(s)
     assert len(s) <= len(w)
     assert len(s2) <= len(s)
-    # inflections fold onto the base form's stem
-    if len(w) > 3 and not w.endswith(("s", "e", "d", "g")):
+    # inflections fold onto the base form's stem ('-u' excluded: the
+    # stemmer deliberately keeps '-us' endings — virus, census)
+    if len(w) > 3 and not w.endswith(("s", "e", "d", "g", "u")):
         assert porter_lite_stem(w + "s") == s
 
 
