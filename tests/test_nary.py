@@ -142,3 +142,60 @@ def test_person_matcher_over_tagged_arrays(ray_session):
     out2 = extract_nary_candidates(tagged, cls2, [pm, loc]).to_pandas()
     got = {(r["person"]["text"], r["place"]["text"]) for _, r in out2.iterrows()}
     assert ("obama", "Berlin") in got and ("Merkel", "Berlin") in got
+
+
+def test_nary_with_categorical_label_model_e2e(ray_session):
+    """Compose the round-2 pieces the way the reference composes
+    candidate_subclass(cardinality=k) + GenerativeModel: n-ary
+    candidates -> per-candidate categorical LF votes -> pattern-count
+    EM -> argmax class."""
+    import numpy as np
+    import pyarrow as pa
+
+    from snorkel_ray.functions.matchers import DictionaryMatch
+    from snorkel_ray.stages.label_model import (fit_label_model_cat,
+                                                pattern_counts_cat,
+                                                score_marginals_cat)
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates
+
+    texts = []
+    # class 1: "activates", class 2: "inhibits", class 3: "binds"
+    for i, verb in enumerate(["activates", "inhibits", "binds"] * 10):
+        texts.append(f"drug{i} {verb} prot{i} in the assay")
+    cls = candidate_subclass("DrugProt", ["drug", "prot"], cardinality=3)
+    drugs = DictionaryMatch([f"drug{i}" for i in range(30)])
+    prots = DictionaryMatch([f"prot{i}" for i in range(30)])
+    cands = extract_nary_candidates(_sentences_ds(texts), cls, [drugs, prots])
+
+    verb_class = {"activates": 1, "inhibits": 2, "binds": 3}
+
+    def _lfs(b: pa.Table) -> pa.Table:
+        sents = b.column("sent_text").to_pylist()
+        n = len(sents)
+        # three LFs: precise verb LF, a second verb LF that abstains on
+        # ~30% of rows, and an uninformative always-class-1 LF.  Two
+        # agreeing informative LFs make the verb labeling the unique
+        # maximum-likelihood solution (one precise + one constant LF
+        # alone is symmetric/unidentifiable).
+        L = np.zeros((n, 3), dtype=np.int8)
+        for i, s in enumerate(sents):
+            c = next(vc for v, vc in verb_class.items() if f" {v} " in s)
+            L[i, 0] = c
+            drug_idx = int(s.split(" ")[0].removeprefix("drug"))
+            L[i, 1] = c if drug_idx % 10 < 7 else 0
+            L[i, 2] = 1 if "assay" in s else 0
+        off = pa.array(np.arange(0, (n + 1) * 3, 3, dtype=np.int32))
+        return b.append_column("L", pa.ListArray.from_arrays(
+            off, pa.array(L.reshape(-1), pa.int8())))
+
+    labeled = cands.map_batches(_lfs, batch_format="pyarrow").materialize()
+    model = fit_label_model_cat(pattern_counts_cat(labeled),
+                                cardinality=cls.cardinality)
+    scored = score_marginals_cat(labeled, model).to_pandas()
+    assert len(scored) == 30
+    # the EM must learn that LF0 is precise and LF1 is noise: argmax
+    # class equals the trigger verb's class for every candidate
+    for _, r in scored.iterrows():
+        want = verb_class[[v for v in verb_class if f" {v} " in r["sent_text"]][0]]
+        assert r["y_hat"] == want, (r["sent_text"], r["y_hat"], want)
