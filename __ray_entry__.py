@@ -97,17 +97,20 @@ def _read(sf_dir: str, table: str, columns=None):
 def _round_cols(ds, spec: dict[str, int]):
     """Round float columns to fixed decimals — applied identically on
     the Ray side and in oracle_sql() so value hashes are bitwise-equal
-    despite accumulation-order ulp drift (round-1 verdict item 1)."""
+    despite accumulation-order ulp drift (round-1 verdict item 1).
+
+    Uses ``duck_round``, a bit-exact replica of DuckDB's
+    ``round(DOUBLE, s)`` — Python ``round()`` is half-even and
+    correctly rounded while SQL round is scale-then-half-away, so they
+    disagree on exact decimal ties AND on ~15-significant-digit values
+    (round-2 ADVICE item 5). These are tiny grouped finals, so the
+    per-value loop is off the hot path."""
+    from snorkel_ray.functions.exprs import duck_round
 
     def _r(b: pa.Table) -> pa.Table:
         for col, nd in spec.items():
             i = b.schema.get_field_index(col)
-            # Python round() is correctly rounded to the nearest double
-            # of the decimal (pc.round leaves ulp residue like
-            # 741376803.3100001); these are tiny grouped finals, so the
-            # per-value loop is off the hot path.
-            vals = [None if v is None else round(v, nd)
-                    for v in b.column(col).to_pylist()]
+            vals = [duck_round(v, nd) for v in b.column(col).to_pylist()]
             b = b.set_column(i, col, pa.array(vals, pa.float64()))
         return b
 
@@ -309,8 +312,9 @@ def q_sliding_window_mean(sf_dir: str):
     out = sliding_window_mean(ds, window=3)
 
     def _proj(b: pa.Table) -> pa.Table:
-        vals = [None if v is None else round(v, 6)
-                for v in b.column("rolling_mean").to_pylist()]
+        from snorkel_ray.functions.exprs import duck_round
+
+        vals = [duck_round(v, 6) for v in b.column("rolling_mean").to_pylist()]
         return pa.table({"event_id": b.column("event_id"),
                          "rolling_mean": pa.array(vals, pa.float64())})
 
@@ -329,9 +333,11 @@ def q_order_price_quantiles(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
 
     def _median(g: pd.DataFrame) -> pd.DataFrame:
+        from snorkel_ray.functions.exprs import duck_round
+
         return pd.DataFrame({
             "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-            "median_price": [round(float(np.median(g["o_totalprice"])), 2)],
+            "median_price": [duck_round(float(np.median(g["o_totalprice"])), 2)],
         })
 
     return (ds.groupby("o_orderpriority")
@@ -544,8 +550,11 @@ def q_embedding_topk(sf_dir: str):
     out = brute_force_topk(ds, _query_vec(sf_dir), k=10)
 
     def _round(b: pa.Table) -> pa.Table:
+        from snorkel_ray.functions.exprs import duck_round
+
+        vals = [duck_round(v, 4) for v in b.column("cosine").to_pylist()]
         return pa.table({"vec_id": b.column("vec_id"),
-                         "cosine_r": pc.round(b.column("cosine"), 4)})
+                         "cosine_r": pa.array(vals, pa.float64())})
 
     return out.map_batches(_round, batch_format="pyarrow").sort(
         ["cosine_r", "vec_id"], descending=[True, False])

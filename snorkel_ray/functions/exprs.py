@@ -90,6 +90,32 @@ def tokens_join(list_arr, sep: str = " "):
 # math
 # ---------------------------------------------------------------------------
 
+def duck_round(v: float | None, nd: int) -> float | None:
+    """Bit-exact replica of DuckDB's ``round(DOUBLE, s)``:
+    ``std::round(v * 10^s) / 10^s`` with half-away-from-zero ties.
+
+    The contract gate stringifies values, so the Ray side must round
+    EXACTLY like the oracle SQL. DuckDB's double round is scale-then-
+    round (NOT correctly rounded in decimal), so neither Python
+    ``round()`` (correctly-rounded half-even) nor ``pc.round`` matches
+    it everywhere — fuzz: 744/20006 mismatches at 6 decimals on 1e9-
+    magnitude doubles for Python round, 0 for this replica. Python
+    round's half-even further disagrees with SQL round on exact decimal
+    ties (0.125 → 0.12 vs 0.13; round-2 ADVICE item 5)."""
+    import math
+
+    if v is None or v != v or v in (math.inf, -math.inf):
+        return v
+    p = math.pow(10.0, nd)
+    x = v * p
+    ax = abs(x)
+    if ax >= 2.0 ** 52:  # already integral at double precision
+        return x / p
+    f = math.floor(ax)
+    r = f + 1.0 if ax - f >= 0.5 else f
+    return math.copysign(r, x) / p
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
 

@@ -62,7 +62,20 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
         return ds.map_batches(_empty, batch_format="pyarrow")
     if n <= broadcast_limit:
         mdf = mapping.select_columns([map_key, map_value]).to_pandas()
-        lookup_ref = ray.put(pd.Series(mdf[map_value].values,
+        vals_src = mdf[map_value]
+        if pd.api.types.is_integer_dtype(vals_src.dtype):
+            # nullable-int lookup values: a plain int64 Series.map
+            # upcasts to float64 when any key misses (NaN), silently
+            # corrupting ids ≥ 2^53 — the stated 10^12-doc hash-id
+            # design target (round-2 ADVICE item 2). The masked
+            # extension array keeps misses as pd.NA at full precision.
+            nullable = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                        "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                        "uint32": "UInt32", "uint64": "UInt64"}
+            vals_src = vals_src.astype(nullable[str(vals_src.dtype)])
+        lookup_ref = ray.put(pd.Series(vals_src.array
+                                       if hasattr(vals_src, "array")
+                                       else vals_src.values,
                                        index=mdf[map_key].values))
 
         def _apply(b: pa.Table) -> pa.Table:

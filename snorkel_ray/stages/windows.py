@@ -17,13 +17,18 @@ Partitioning contracts (hot-key story, round-1 verdict item 9):
   table (≪ events).  Merging any two adjacent sessions whose inter-gap
   ≤ gap reproduces exact sessionization: within-chunk sessions are
   already > gap apart, so only boundary splits rejoin.
-- **sliding**: per-key group with in-memory sort — the documented
-  contract for keys that fit a reducer; pre-split by time range with
-  ``window``-sized overlap for pathological keys.
+- **sliding**: per-key group with in-memory sort for keys that fit a
+  reducer; ``pre_split_chunk`` switches to the two-level plan — per
+  ``(key, chunk)`` rolling with (window−1)-row boundary context rows,
+  then a per-key fix-up over the boundary rows only (O(#chunks ×
+  window) per key, never the key's full history in one group).
+  Ordering identity is ``(ts, event_id)`` — exactly one event per key
+  per (ts, event_id) is assumed, as in the single-group path.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -107,9 +112,32 @@ def session_windows(events, *, key: str = "user_id", ts: str = "ts",
 
 
 def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
-                        value: str = "value", window: int = 3):
+                        value: str = "value", window: int = 3,
+                        pre_split_chunk: str | None = None):
     """Per-key trailing N-event rolling mean (order: ts, then event_id
-    if present — deterministic) → original rows + ``rolling_mean``."""
+    if present — deterministic) → original rows + ``rolling_mean``.
+
+    Default: one group per key (the key's whole history sorts in one
+    reducer — fine when no key is pathological).  ``pre_split_chunk``
+    (e.g. "1D") switches to the hot-key-safe two-level plan (round-2
+    verdict item 3 — the plan this docstring used to merely promise):
+
+    1. Per ``(key, time-chunk)`` group: sort, compute the rolling mean.
+       Rows with ≥ window−1 in-chunk predecessors are SETTLED (their
+       window never crosses the chunk boundary).  Each chunk also
+       emits its first window−1 rows as UNSETTLED and its last
+       window−1 rows as boundary CONTEXT.
+    2. Per ``key`` group over (unsettled ∪ context) only — O(#chunks ×
+       window) rows per key, ≪ events: sort, recompute, keep the
+       corrected unsettled rows.
+
+    Exact: an unsettled row's window−1 predecessors span at most
+    window−1 chunks back, and from each chunk at most its window−1
+    most recent events — all present in that chunk's context tail, so
+    the level-2 subsequence contains every true predecessor and no
+    impostor between them (any event time-between two of the last
+    window−1 events IS one of them).
+    """
 
     def _roll(g: pd.DataFrame) -> pd.DataFrame:
         order = [ts] + (["event_id"] if "event_id" in g.columns else [])
@@ -117,4 +145,55 @@ def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
         g["rolling_mean"] = g[value].rolling(window, min_periods=1).mean()
         return g
 
-    return events.groupby(key).map_groups(_roll, batch_format="pandas")
+    if pre_split_chunk is None:
+        return events.groupby(key).map_groups(_roll, batch_format="pandas")
+
+    chunk = pd.Timedelta(pre_split_chunk)
+    w1 = window - 1
+
+    def _add_chunk(b: pa.Table) -> pa.Table:
+        c = b.column(ts).to_pandas().dt.floor(chunk)
+        return b.append_column("_chunk", pa.Array.from_pandas(c))
+
+    def _level1(g: pd.DataFrame) -> pd.DataFrame:
+        g = _roll(g.drop(columns=["_chunk"]))
+        n = len(g)
+        idx = np.arange(n)
+        settled = g.iloc[idx[idx >= w1]].copy()
+        settled["_role"] = "done"
+        head = g.iloc[idx[idx < w1]].copy()
+        head["_role"] = "head"  # value provisional: may need prev-chunk ctx
+        tail = g.iloc[max(0, n - w1):].copy()
+        tail["_role"] = "ctx"
+        return pd.concat([settled, head, tail], ignore_index=True)
+
+    def _level2(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts] + (["event_id"] if "event_id" in g.columns else [])
+        heads = g[g["_role"] == "head"]
+        # context rows that duplicate a head row collapse into it (a
+        # short chunk's rows are both); identity = the sort order key
+        dedup = g.drop_duplicates(order, keep="first") \
+            .sort_values(order).reset_index(drop=True)
+        dedup["rolling_mean"] = dedup[value].rolling(window, min_periods=1).mean()
+        keys = set(map(tuple, heads[order].itertuples(index=False)))
+        mask = dedup[order].apply(tuple, axis=1).isin(keys)
+        return dedup[mask].drop(columns=["_role"])
+
+    import pyarrow.compute as pc
+
+    def _role_filter(want_done: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            eq = pc.equal(b.column("_role"), "done")
+            t = b.filter(eq if want_done else pc.invert(eq))
+            return t.drop_columns(["_role"]) if want_done else t
+
+        return _f
+
+    chunked = events.map_batches(_add_chunk, batch_format="pyarrow")
+    staged = chunked.groupby([key, "_chunk"]).map_groups(
+        _level1, batch_format="pandas").materialize()  # consumed twice
+
+    done = staged.map_batches(_role_filter(True), batch_format="pyarrow")
+    boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
+    fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
+    return done.union(fixed)

@@ -106,3 +106,103 @@ def test_embedding_near_dup(ray_session):
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_exact_dedup_keep_key_ties(ray_session):
+    """Round-2 ADVICE item 1: two byte-identical rows (same text AND
+    same doc_id — a re-ingested file) must collapse to ONE survivor;
+    the old keep_key==winner value filter kept both."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    rows = [
+        {"doc_id": "d1", "text": "xxx"},
+        {"doc_id": "d1", "text": "xxx"},  # identical physical copy
+        {"doc_id": "d2", "text": "xxx"},
+        {"doc_id": "d3", "text": "yyy"},
+    ]
+    kept = exact_dedup(rd.from_items(rows).repartition(2), "text",
+                       keep_key="doc_id").to_pandas()
+    assert len(kept) == 2
+    assert sorted(kept["doc_id"]) == ["d1", "d3"]
+
+    # distinct rows tying on keep_key: exactly one survives, chosen
+    # deterministically (full-row fingerprint ordering) across reruns
+    rows2 = [
+        {"doc_id": "d1", "text": "xxx", "extra": "a"},
+        {"doc_id": "d1", "text": "xxx", "extra": "b"},
+    ]
+    picks = set()
+    for _ in range(2):
+        out = exact_dedup(rd.from_items(rows2), "text",
+                          keep_key="doc_id").to_pandas()
+        assert len(out) == 1
+        picks.add(out["extra"].iloc[0])
+    assert len(picks) == 1  # deterministic winner
+
+
+def test_exact_dedup_int_keep_key_ordering(ray_session):
+    """Integer keep_keys (incl. negatives) must order numerically, not
+    lexicographically, through the composite string sort key."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    rows = [{"doc_id": k, "text": "t"} for k in [10, 9, -3, 200]]
+    out = exact_dedup(rd.from_items(rows), "text", keep_key="doc_id").to_pandas()
+    assert out["doc_id"].tolist() == [-3]
+
+
+def test_lsh_pairs_preserve_large_int_ids(ray_session):
+    """Round-2 ADVICE item 2: ids >= 2^53 must survive the anchor
+    mapping without a float64 round-trip (the old pandas lookup
+    upcast and silently dropped/merged edges)."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import lsh_bucket_pairs, minhash_signatures
+
+    big = 2 ** 53
+    dup = ("the quick brown fox jumps over the lazy dog while rain falls "
+           "on the quiet town near the river")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([big + 1, big + 2, big + 3, big + 100], pa.int64()),
+        "text": pa.array([dup, dup, dup,
+                          "entirely different words about telescopes galaxies "
+                          "astronomy research papers published yearly"]),
+    }))
+    sigs = minhash_signatures(ds, "text", "doc_id", num_perm=32)
+    pairs = lsh_bucket_pairs(sigs, "doc_id", bands=8).to_pandas()
+    got = sorted((int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"]))
+    assert got == [(big + 1, big + 2), (big + 1, big + 3)]
+
+
+def test_shingle_batch_parity():
+    """_shingle_hashes_batch must equal _shingle_hashes per text."""
+    from snorkel_ray.stages.dedup import _shingle_hashes_batch
+
+    texts = ["hello world foo bar baz", "", "a b",
+             "one two three four five six seven eight nine ten eleven twelve",
+             "repeated repeated repeated words words"]
+    for k in (1, 3, 9):
+        batch = _shingle_hashes_batch(texts, k)
+        for t, got in zip(texts, batch):
+            assert np.array_equal(_shingle_hashes(t, k), got), (t, k)
+
+
+def test_pos_mix_no_period8_collision():
+    """Round-2 ADVICE item 4: the old 8-entry mix table made positions
+    j and j+8 share a multiplier, so swapping two words 8 apart
+    collided systematically for shingle k > 8. Distinct splitmix64
+    constants per position must break that."""
+    from snorkel_ray.stages.dedup import _pos_mix
+
+    mix = _pos_mix(64)
+    assert len(set(mix.tolist())) == 64  # all distinct, no cycling
+
+    words = [f"w{i}" for i in range(10)]
+    swapped = list(words)
+    swapped[0], swapped[8] = swapped[8], swapped[0]
+    h1 = _shingle_hashes(" ".join(words), 10)
+    h2 = _shingle_hashes(" ".join(swapped), 10)
+    assert not np.array_equal(h1, h2)

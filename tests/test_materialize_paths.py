@@ -37,6 +37,29 @@ def test_small_and_distributed_dedup_agree(ray_session):
     assert small_s.groupby(["subj_qid", "pred", "obj_qid"]).size().max() == 1
 
 
+def test_materialize_auto_switch(ray_session):
+    """small_output=None (the default) must route on the combined
+    partial count: tiny threshold → distributed path, default
+    threshold → driver path, identical output either way (round-2
+    verdict item 2)."""
+    from snorkel_ray.stages.materialize import materialize_triples
+
+    ds = _linked_ds(ray_session)
+
+    def run(**kw):
+        out = materialize_triples(
+            ds.map_batches(_rename, batch_format="pyarrow"),
+            threshold=0.5, **kw).to_pandas()
+        return out.sort_values(["subj_qid", "pred", "obj_qid"]) \
+            .reset_index(drop=True)
+
+    auto_small = run()  # count << 5M → driver path
+    auto_dist = run(small_output_threshold=1)  # forces distributed path
+    cols = ["subj_qid", "pred", "obj_qid", "p", "url", "sent_stable_id"]
+    assert auto_small[cols].equals(auto_dist[cols])
+    assert auto_small.groupby(["subj_qid", "pred", "obj_qid"]).size().max() == 1
+
+
 def _rename(b: pa.Table) -> pa.Table:
     # materialize_triples projects from candidate-style columns
     return pa.table({

