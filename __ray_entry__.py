@@ -345,6 +345,23 @@ def q_order_price_quantiles(sf_dir: str):
             .sort("o_orderpriority"))
 
 
+def q_approx_price_quantiles(sf_dir: str):
+    """Mergeable KLL quantile sketch over order prices (rows-only:
+    approximate by construction; <1% rank error unit-tested).  The
+    huge-group path next to ``order_price_quantiles``' exact per-group
+    median — no per-group sort, per-batch sketch partials + driver
+    merge."""
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.sketches import approx_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ests = approx_quantiles(ds, "o_totalprice", qs)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "est_price": pa.array([duck_round(e, 2) for e in ests],
+                                           pa.float64())})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate distinct user_ids (rows-only: approximate by
     construction; the test asserts <5% error vs exact)."""
@@ -690,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts": q_user_session_counts,
         "user_daily_windows": q_user_daily_windows,
         "order_price_quantiles": q_order_price_quantiles,
+        "approx_price_quantiles": q_approx_price_quantiles,
         "sliding_window_mean": q_sliding_window_mean,
         "approx_distinct_users": q_approx_distinct_users,
         "token_counts": q_token_counts,

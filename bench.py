@@ -86,12 +86,24 @@ def run_bench() -> dict:
         n_triples = triples.count()
 
     # median of N repeats — single-run wall time varies >2x on this
-    # shared sandbox (BASELINE.md protocol: repeat 3x, report median)
+    # shared sandbox (BASELINE.md protocol: repeat 3x, report median).
+    # Per-run load averages + the min are emitted so a reader can
+    # separate box contention from a code regression without a re-run
+    # (round-2 verdict item 8: BENCH_r02 sampled a loaded box and
+    # understated the round by ~2.6x).
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
-    times = sorted(_timed(_headline) for _ in range(repeats))
+    timed_runs = []
+    for _ in range(repeats):
+        load_before = os.getloadavg()[0]
+        t = _timed(_headline)
+        timed_runs.append((t, load_before, os.getloadavg()[0]))
+    times = sorted(t for t, _, _ in timed_runs)
     headline_sec = times[len(times) // 2]
     results["kg_pipeline_synth"] = round(headline_sec, 3)
-    results["kg_pipeline_synth_runs"] = [round(t, 3) for t in times]
+    results["kg_pipeline_synth_runs"] = [round(t, 3) for t, _, _ in timed_runs]
+    results["kg_pipeline_synth_min"] = round(times[0], 3)
+    results["loadavg_per_run"] = [[round(a, 2), round(b, 2)]
+                                  for _, a, b in timed_runs]
 
     # micro-baselines over the sf dir (regression tracking); skipped in
     # scaling mode where only the headline matters

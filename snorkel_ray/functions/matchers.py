@@ -29,10 +29,11 @@ from typing import Callable, Iterable, Iterator
 class Span:
     """In-memory span over one sentence (reference ``TemporarySpan``).
 
-    ``pos_tags`` / ``ner_tags`` are the token-aligned annotation arrays
-    of the reference Sentence model (``snorkel/models/context.py``
-    ≈L100–220), present when a tagger stage populated them
-    (stages/pretagged.py::add_token_tags); ``None`` otherwise."""
+    ``pos_tags`` / ``ner_tags`` / ``lemmas`` are the token-aligned
+    annotation arrays of the reference Sentence model
+    (``snorkel/models/context.py`` ≈L100–220), present when a tagger /
+    lemmatizer stage populated them (stages/pretagged.py::
+    add_token_tags / add_lemmas); ``None`` otherwise."""
 
     words: tuple[str, ...]
     char_start: int  # sentence-relative, inclusive
@@ -42,6 +43,7 @@ class Span:
     text: str
     pos_tags: tuple[str, ...] | None = None
     ner_tags: tuple[str, ...] | None = None
+    lemmas: tuple[str, ...] | None = None
 
     def get_span(self) -> str:
         return self.text
@@ -49,12 +51,13 @@ class Span:
     def get_attrib_tokens(self, attrib: str = "words") -> tuple[str, ...]:
         if attrib == "words":
             return self.words
-        if attrib in ("pos_tags", "ner_tags"):
+        if attrib in ("pos_tags", "ner_tags", "lemmas"):
             tags = getattr(self, attrib)
             if tags is None:
                 raise KeyError(
                     f"attrib {attrib!r} not populated — run a tagger stage "
-                    "(stages.pretagged.add_token_tags) before matching on it")
+                    "(stages.pretagged.add_token_tags / add_lemmas) before "
+                    "matching on it")
             return tags
         raise KeyError(f"unknown attrib {attrib!r}")
 
@@ -75,10 +78,12 @@ class Ngrams:
 
     def __call__(self, words: list[str], offsets: list[int], sent_text: str,
                  pos_tags: list[str] | None = None,
-                 ner_tags: list[str] | None = None) -> Iterator[Span]:
+                 ner_tags: list[str] | None = None,
+                 lemmas: list[str] | None = None) -> Iterator[Span]:
         L = len(words)
         pt = tuple(pos_tags) if pos_tags is not None else None
         nt = tuple(ner_tags) if ner_tags is not None else None
+        lm = tuple(lemmas) if lemmas is not None else None
         for i in range(L):
             for n in range(1, min(self.n_max, L - i) + 1):
                 j = i + n - 1
@@ -86,7 +91,8 @@ class Ngrams:
                 ce = offsets[j] + len(words[j])
                 yield Span(tuple(words[i : j + 1]), cs, ce, i, j, sent_text[cs:ce],
                            pt[i : j + 1] if pt else None,
-                           nt[i : j + 1] if nt else None)
+                           nt[i : j + 1] if nt else None,
+                           lm[i : j + 1] if lm else None)
             # split-token sub-spans of the unigram
             w = words[i]
             for st in self.split_tokens:
@@ -97,7 +103,8 @@ class Ngrams:
                             cs = offsets[i] + pos
                             yield Span((part,), cs, cs + len(part), i, i, part,
                                        pt[i : i + 1] if pt else None,
-                                       nt[i : i + 1] if nt else None)
+                                       nt[i : i + 1] if nt else None,
+                                       lm[i : i + 1] if lm else None)
                         pos += len(part) + len(st)
 
 

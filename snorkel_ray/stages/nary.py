@@ -107,6 +107,7 @@ class NaryCandidateExtractor:
         names = batch.schema.names
         pos_col = batch.column("pos_tags").to_pylist() if "pos_tags" in names else None
         ner_col = batch.column("ner_tags").to_pylist() if "ner_tags" in names else None
+        lem_col = batch.column("lemmas").to_pylist() if "lemmas" in names else None
 
         out = {"cand_stable_id": [], "doc_id": [], "url": [], "sent_idx": [],
                "sent_stable_id": [], "pred": [], "sent_text": []}
@@ -117,7 +118,8 @@ class NaryCandidateExtractor:
             spans = list(self.space(
                 words, offs, text,
                 pos_tags=pos_col[r] if pos_col else None,
-                ner_tags=ner_col[r] if ner_col else None))
+                ner_tags=ner_col[r] if ner_col else None,
+                lemmas=lem_col[r] if lem_col else None))
             per_arg = [m.apply(spans) for m in self.matchers]
             if any(not s for s in per_arg):
                 continue

@@ -75,6 +75,41 @@ def add_token_tags(sentences, tagger: Callable[[list[str]], tuple[list[str], lis
     return sentences.map_batches(_tag, batch_format="pyarrow", batch_size=batch_size)
 
 
+def add_lemmas(sentences, lemmatizer: Callable[[str], str] | None = None,
+               *, batch_size: int | None = None):
+    """Populate the reference Sentence model's ``lemmas``
+    token-annotation array (``snorkel/models/context.py`` ≈L100–220)
+    so ``attrib='lemmas'`` matchers (reference ``matchers.py``
+    ≈L150–230) run on a real column.  Default lemmatizer is the
+    built-in suffix stemmer (casefold + porter-lite — no spaCy/nltk in
+    this env; a model lemmatizer slots in via ``lemmatizer`` or an
+    actor-pool tagger stage).  Distinct-word memoization per batch:
+    one stem per vocabulary entry, not per occurrence."""
+    if lemmatizer is None:
+        from ..functions.matchers import porter_lite_stem
+
+        def lemmatizer(w: str) -> str:  # noqa: F811 - documented default
+            return porter_lite_stem(w.casefold())
+
+    def _lem(batch: pa.Table) -> pa.Table:
+        words_col = batch.column("words").to_pylist()
+        memo: dict[str, str] = {}
+        out = []
+        for words in words_col:
+            lem = []
+            for w in words:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = lemmatizer(w)
+                lem.append(got)
+            out.append(lem)
+        return batch.append_column("lemmas",
+                                   pa.array(out, pa.list_(pa.string())))
+
+    return sentences.map_batches(_lem, batch_format="pyarrow",
+                                 batch_size=batch_size)
+
+
 def rule_token_tagger(person_lexicon: frozenset | None = None,
                       location_lexicon: frozenset | None = None,
                       titlecase_person_fallback: bool = False):

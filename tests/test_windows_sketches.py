@@ -237,3 +237,84 @@ def test_sliding_presplit_bounds_group_size(ray_session):
     assert out["rolling_mean"].iloc[0] == 0.0
     assert out["rolling_mean"].iloc[10] == 9.0  # mean(8, 9, 10)
     assert len(out) == n
+
+
+def test_kll_quantiles_accuracy_and_merge(ray_session):
+    """Mergeable KLL quantile sketch (round-2 verdict item 5): <1%
+    rank error vs exact on skewed data, merge(partials) within the
+    same bound, serde round-trip exact."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.sketches import KLL, approx_quantiles
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(3, 2, 120_000)
+    sorted_d = np.sort(data)
+
+    parts = []
+    for chunk in np.array_split(data, 10):
+        s = KLL(256)
+        s.add_batch(chunk)
+        parts.append(KLL.deserialize(s.serialize()))  # serde round-trip
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.n == len(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        rank = np.searchsorted(sorted_d, merged.quantile(q)) / len(data)
+        assert abs(rank - q) < 0.01, (q, rank)
+
+    # distributed wrapper over a Dataset
+    ds = rd.from_pandas(pd.DataFrame({"v": data})).repartition(6)
+    ests = approx_quantiles(ds, "v", [0.5, 0.9])
+    for q, est in zip([0.5, 0.9], ests):
+        rank = np.searchsorted(sorted_d, est) / len(data)
+        assert abs(rank - q) < 0.01, (q, rank)
+
+
+def test_ivf_partitioned_read_prunes(ray_session, tmp_path):
+    """write_ivf_index + ivf_topk_partitioned (round-2 verdict item 6):
+    only the nprobe probed partitions' files are opened (read-level
+    pruning, via ds.input_files) and results equal the
+    assigned=True filter path."""
+    import ray.data as rd
+
+    import glob
+
+    from snorkel_ray.stages.similarity import (_norm, assign_centroids,
+                                               fit_centroids,
+                                               ivf_partition_files, ivf_topk,
+                                               ivf_topk_partitioned,
+                                               write_ivf_index)
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(400), "embedding": list(map(list, vecs))}))
+    cents = fit_centroids(ds, n_centroids=8, sample_rows=400)
+    idx_path = str(tmp_path / "ivf")
+    write_ivf_index(ds, cents, idx_path)
+
+    q = vecs[7]
+    # read-level pruning: the file list covers ONLY probed partitions,
+    # and is a strict subset of the files on disk
+    C = _norm(np.asarray(cents, dtype=np.float32))
+    Q = _norm(np.atleast_2d(q))
+    probe = set(np.argsort(-(Q @ C.T), axis=1)[:, :2].reshape(-1).tolist())
+    files = ivf_partition_files(idx_path, q, cents, nprobe=2)
+    assert files, "expected at least one probed partition file"
+    for f in files:
+        assert any(f"centroid_id={c}/" in f for c in probe), f
+    all_files = glob.glob(f"{idx_path}/centroid_id=*/*.parquet")
+    assert len(files) < len(all_files)
+
+    pruned = ivf_topk_partitioned(idx_path, q, cents, k=5, nprobe=2)
+
+    assigned = assign_centroids(ds, cents).materialize()
+    direct = ivf_topk(assigned, q, cents, k=5, nprobe=2,
+                      assigned=True).to_pandas()
+    got = pruned.to_pandas()
+    a = direct.sort_values("vec_id").reset_index(drop=True)
+    b = got.sort_values("vec_id").reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert np.allclose(a["cosine"], b["cosine"])
