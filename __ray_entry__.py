@@ -172,6 +172,53 @@ def q_customer_order_join(sf_dir: str):
     return _round_cols(out, {"total_price": 2}).sort("c_mktsegment")
 
 
+def q_supplier_nation_acctbal(sf_dir: str):
+    """Supplier→nation broadcast dim join + grouped agg (covers the
+    supplier table; same no-shuffle small-side pattern as J4)."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def _lookup(b: pa.Table) -> pa.Table:
+        names = [nmap[k] for k in b.column("s_nationkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "s_acctbal": b.column("s_acctbal")})
+
+    out = (supp.map_batches(_lookup, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="total_acctbal")))
+    return _round_cols(out, {"total_acctbal": 2}).sort("n_name")
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """Per-group top-k (skew-safe partial top-k per batch + tiny final
+    merge — stages/skew.py::grouped_topk): top-2 orders by price per
+    market segment, SQL-checkable via row_number() OVER."""
+    from snorkel_ray.stages.skew import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                         "o_orderkey": b.column("o_orderkey"),
+                         "o_totalprice": b.column("o_totalprice")})
+
+    top = grouped_topk(joined.map_batches(_proj, batch_format="pyarrow"),
+                       "c_mktsegment", ["o_totalprice", "o_orderkey"],
+                       descending=[True, False], k=2)
+    return top.sort(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                    descending=[False, True, False])
+
+
 def q_broadcast_join_nation_region(sf_dir: str):
     """Small-side broadcast lookup join — the no-shuffle pattern
     (SURVEY.md J4): region is read ONCE on the driver and mapped in."""
@@ -239,6 +286,24 @@ def q_exact_dedup_documents(sf_dir: str):
     return pa.table({"n_unique": pa.array([res["n_unique"]], pa.int64())})
 
 
+def q_dedup_with_ties(sf_dir: str):
+    """Exact dedup under keep_key TIES: the documents table unioned
+    with itself duplicates every physical row (same text AND same
+    doc_id — the re-ingested-file case); exactly one copy must survive
+    per text, so per-source survivor counts equal the original table's
+    (round-2 ADVICE item 1 under the oracle gate)."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    doubled = ds.union(_read(sf_dir, "documents",
+                             ["doc_id", "text", "source"]))
+    kept = exact_dedup(doubled, "text", keep_key="doc_id")
+    return (kept.groupby("source").aggregate(Count(alias_name="n_docs"))
+            .sort("source"))
+
+
 # --- scalar functions / json ------------------------------------------------
 
 def q_events_json_extract(sf_dir: str):
@@ -288,6 +353,21 @@ def q_user_session_counts(sf_dir: str):
             .sort("user_id"))
 
 
+def q_user_session_counts_chunked(sf_dir: str):
+    """Same sessionization through the hot-key-safe two-level plan
+    (pre_split_chunk): per-(key, day) sessionize + boundary merge —
+    hash-checked against the identical SQL oracle, proving the chunked
+    plan exact on real data, not just the crafted test corpus."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = session_windows(ds, gap="30min", pre_split_chunk="1D")
+    return (sess.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+            .sort("user_id"))
+
+
 def q_user_daily_windows(sf_dir: str):
     """Per-user tumbling 1-day windows → (user_id, n_days_active,
     total_events)."""
@@ -310,7 +390,10 @@ def q_sliding_window_mean(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     out = sliding_window_mean(ds, window=3)
+    return _sliding_proj(out)
 
+
+def _sliding_proj(out):
     def _proj(b: pa.Table) -> pa.Table:
         from snorkel_ray.functions.exprs import duck_round
 
@@ -319,6 +402,17 @@ def q_sliding_window_mean(sf_dir: str):
                          "rolling_mean": pa.array(vals, pa.float64())})
 
     return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
+
+
+def q_sliding_window_mean_chunked(sf_dir: str):
+    """Same trailing rolling mean through the hot-key-safe two-level
+    plan (per-chunk rolling + boundary fix-up, round-2 verdict item
+    3) — hash-checked against the identical SQL oracle."""
+    from snorkel_ray.stages.windows import sliding_window_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = sliding_window_mean(ds, window=3, pre_split_chunk="1D")
+    return _sliding_proj(out)
 
 
 def q_order_price_quantiles(sf_dir: str):
@@ -699,16 +793,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_orders": q_top10_orders,
         "customer_order_join": q_customer_order_join,
         "broadcast_join_nation_region": q_broadcast_join_nation_region,
+        "supplier_nation_acctbal": q_supplier_nation_acctbal,
+        "top_orders_per_segment": q_top_orders_per_segment,
         "filter_long_docs": q_filter_long_docs,
         "distinct_part_types": q_distinct_part_types,
         "exact_dedup_documents": q_exact_dedup_documents,
+        "dedup_with_ties": q_dedup_with_ties,
         "events_json_extract": q_events_json_extract,
         "events_daily_counts": q_events_daily_counts,
         "user_session_counts": q_user_session_counts,
+        "user_session_counts_chunked": q_user_session_counts_chunked,
         "user_daily_windows": q_user_daily_windows,
         "order_price_quantiles": q_order_price_quantiles,
         "approx_price_quantiles": q_approx_price_quantiles,
         "sliding_window_mean": q_sliding_window_mean,
+        "sliding_window_mean_chunked": q_sliding_window_mean_chunked,
         "approx_distinct_users": q_approx_distinct_users,
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
@@ -754,6 +853,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, count(*) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name""",
+        "supplier_nation_acctbal": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""",
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rn <= 2
+            ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
+        "dedup_with_ties": """
+            SELECT source, count(*) AS n_docs FROM documents
+            GROUP BY source ORDER BY source""",
         "filter_long_docs": """
             SELECT source, count(*) AS n_long FROM documents
             WHERE n_chars > 300 GROUP BY source ORDER BY source""",
@@ -780,6 +895,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ) WHERE new_session = 1 GROUP BY user_id ORDER BY user_id""",
+        "user_session_counts_chunked": """
+            SELECT user_id, count(*) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE new_session = 1 GROUP BY user_id ORDER BY user_id""",
         "user_daily_windows": """
             SELECT user_id, count(*) AS n_days_active,
                    CAST(sum(n) AS BIGINT) AS total_events FROM (
@@ -791,6 +915,13 @@ def oracle_sql() -> dict[str, str]:
                    round(median(o_totalprice), 2) AS median_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "sliding_window_mean": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_mean
+            FROM events ORDER BY event_id""",
+        "sliding_window_mean_chunked": """
             SELECT event_id,
                    round(avg(value) OVER (PARTITION BY user_id
                          ORDER BY ts, event_id

@@ -101,6 +101,39 @@ def split_by_row_size(ds, column: str, max_bytes: int = 1 << 20):
             ds.map_batches(_giant, batch_format="pyarrow"))
 
 
+def grouped_topk(ds, group_col: str, order_cols: list[str],
+                 *, descending: list[bool] | None = None, k: int = 2):
+    """Per-group top-k rows, skew-safe: a per-BATCH partial top-k per
+    group first (vectorized pandas sort + head inside ``map_batches``),
+    so the shuffle moves at most k × groups × blocks rows, then a final
+    per-group head over the tiny partial table.  A hot group's full
+    row set never lands in one reducer — only its k-row partials do.
+
+    ``order_cols`` must totally order rows within a group (append a
+    unique id to break ties) or the result is nondeterministic."""
+    import pandas as pd
+
+    if descending is None:
+        descending = [True] * len(order_cols)
+    asc = [not d for d in descending]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if not len(df):
+            return b
+        out = (df.sort_values(order_cols, ascending=asc, kind="mergesort")
+               .groupby(group_col, sort=False).head(k))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, ascending=asc,
+                             kind="mergesort").head(k)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    return partial.groupby(group_col).map_groups(_final,
+                                                 batch_format="pandas")
+
+
 def repartition_by_key(ds, key: str, num_partitions: int):
     """Explicit hash repartition: adds ``_bucket = hash(key) % P`` and
     shuffles so equal keys co-locate — the reusable partitioning step

@@ -166,3 +166,28 @@ def test_duck_round_matches_duckdb():
     assert duck_round(0.125, 2) == 0.13
     assert duck_round(-0.125, 2) == -0.13
     assert duck_round(None, 2) is None
+
+
+def test_grouped_topk(ray_session):
+    """Per-group top-k: partial top-k per batch + tiny final merge;
+    must equal a global sort + per-group head, deterministically."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.skew import grouped_topk
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 500),
+        "v": rng.integers(0, 50, 500),   # many ties -> id tiebreak matters
+        "id": np.arange(500),
+    })
+    out = grouped_topk(rd.from_pandas(df).repartition(8), "g", ["v", "id"],
+                       descending=[True, False], k=3).to_pandas()
+    expect = (df.sort_values(["v", "id"], ascending=[False, True])
+              .groupby("g", sort=False).head(3))
+    a = out.sort_values(["g", "v", "id"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    b = expect.sort_values(["g", "v", "id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["g", "v", "id"]], b[["g", "v", "id"]])
