@@ -58,15 +58,25 @@ def salted_count(ds, key: str, *, salt_buckets: int = 16,
     hot_ref = ray.put(hot_keys)
 
     def _salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         hot = ray.get(hot_ref)
-        keys = batch.column(key).to_pylist()
-        salts = np.zeros(len(keys), dtype=np.int32)
-        for i, k in enumerate(keys):
-            if k in hot:
-                salts[i] = hash64(f"{i}:{k}") % salt_buckets
+        n = batch.num_rows
+        salts = np.zeros(n, dtype=np.int32)
+        if hot:
+            # vectorized: membership via pc.is_in, salt = row index mod
+            # buckets (uniform spread by construction — the salt only
+            # routes partials, any even assignment is correct; the old
+            # per-row hash64 loop ran on every hot-key occurrence,
+            # i.e. on the MOST frequent rows)
+            mask = pc.is_in(batch.column(key),
+                            value_set=pa.array(sorted(hot))).to_numpy(
+                zero_copy_only=False)
+            mask = np.asarray(mask, dtype=bool)
+            salts[mask] = np.arange(n, dtype=np.int64)[mask] % salt_buckets
         return pa.table({key: batch.column(key),
                          "_salt": pa.array(salts, pa.int32()),
-                         "_one": pa.array(np.ones(len(keys), np.int64), pa.int64())})
+                         "_one": pa.array(np.ones(n, np.int64), pa.int64())})
 
     partial = (ds.map_batches(_salt, batch_format="pyarrow")
                .groupby([key, "_salt"])
