@@ -286,6 +286,39 @@ def q_exact_dedup_documents(sf_dir: str):
     return pa.table({"n_unique": pa.array([res["n_unique"]], pa.int64())})
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join (blocklist-filter shape): customers with no
+    high-value order (>400k), counted per market segment.  Zero
+    shuffle — the key set broadcasts once and filters via a vectorized
+    is_in per batch."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), 400_000)),
+            batch_format="pyarrow")
+    none = semi_join(cust, okeys, "c_custkey", "o_custkey", anti=True)
+    return (none.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+            .sort("c_mktsegment"))
+
+
+def q_parts_with_lineitems(sf_dir: str):
+    """Broadcast SEMI-join: parts that appear in lineitem, counted per
+    brand."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.joins import semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    lkeys = _read(sf_dir, "lineitem", ["l_partkey"])
+    hit = semi_join(part, lkeys, "p_partkey", "l_partkey")
+    return (hit.groupby("p_brand").aggregate(Count(alias_name="n_parts"))
+            .sort("p_brand"))
+
+
 def q_dedup_with_ties(sf_dir: str):
     """Exact dedup under keep_key TIES: the documents table unioned
     with itself duplicates every physical row (same text AND same
@@ -413,6 +446,41 @@ def q_sliding_window_mean_chunked(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     out = sliding_window_mean(ds, window=3, pre_split_chunk="1D")
     return _sliding_proj(out)
+
+
+def q_asof_last_click(sf_dir: str):
+    """Backward as-of join (time-series enrichment): every non-click
+    event gets the value of the user's most recent click at-or-before
+    its timestamp — checked against DuckDB's native ASOF LEFT JOIN.
+    Right side pre-aggregated to one row per (user, ts) so the match
+    is well-defined on both engines."""
+    from ray.data.aggregate import Max
+
+    from snorkel_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def _nonclick(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+        }).filter(pc.not_equal(b.column("event_type"), "click"))
+
+    def _click(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"), "value": t.column("value")})
+
+    left = ev.map_batches(_nonclick, batch_format="pyarrow")
+    right = (ev.map_batches(_click, batch_format="pyarrow")
+             .groupby(["user_id", "ts"])
+             .aggregate(Max("value", alias_name="value")))
+    out = asof_join(left, right, "user_id", "ts", ["value"],
+                    rename={"value": "last_click_value"})
+    return (out.select_columns(["event_id", "last_click_value"])
+            .sort("event_id"))
 
 
 def q_order_price_quantiles(sf_dir: str):
@@ -799,11 +867,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_part_types": q_distinct_part_types,
         "exact_dedup_documents": q_exact_dedup_documents,
         "dedup_with_ties": q_dedup_with_ties,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_lineitems": q_parts_with_lineitems,
         "events_json_extract": q_events_json_extract,
         "events_daily_counts": q_events_daily_counts,
         "user_session_counts": q_user_session_counts,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "user_daily_windows": q_user_daily_windows,
+        "asof_last_click": q_asof_last_click,
         "order_price_quantiles": q_order_price_quantiles,
         "approx_price_quantiles": q_approx_price_quantiles,
         "sliding_window_mean": q_sliding_window_mean,
@@ -867,8 +938,24 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 2
             ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
         "dedup_with_ties": """
-            SELECT source, count(*) AS n_docs FROM documents
-            GROUP BY source ORDER BY source""",
+            -- survivors of dedup-by-text with min-doc_id winner; the
+            -- self-union's identical copies must collapse to one row,
+            -- and pre-existing duplicate texts (sf0.1 has 8) keep only
+            -- the min doc_id's row
+            SELECT d.source, count(*) AS n_docs
+            FROM (SELECT min(doc_id) AS winner FROM documents
+                  GROUP BY text) w
+            JOIN documents d ON d.doc_id = w.winner
+            GROUP BY d.source ORDER BY d.source""",
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "parts_with_lineitems": """
+            SELECT p_brand, count(*) AS n_parts FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            GROUP BY p_brand ORDER BY p_brand""",
         "filter_long_docs": """
             SELECT source, count(*) AS n_long FROM documents
             WHERE n_chars > 300 GROUP BY source ORDER BY source""",
@@ -910,6 +997,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n
               FROM events GROUP BY user_id, date_trunc('day', ts)
             ) GROUP BY user_id ORDER BY user_id""",
+        "asof_last_click": """
+            SELECT l.event_id, r.value AS last_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type != 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                            FROM events WHERE event_type = 'click'
+                            GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
         "order_price_quantiles": """
             SELECT o_orderpriority,
                    round(median(o_totalprice), 2) AS median_price

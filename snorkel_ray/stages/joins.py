@@ -19,10 +19,160 @@ an explicit ``broadcast_limit`` override.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 DEFAULT_BROADCAST_LIMIT = 2_000_000  # rows; ~100 MB of short strings
+
+
+def semi_join(ds, keys, key_col: str, keys_col: str | None = None, *,
+              anti: bool = False,
+              broadcast_limit: int = DEFAULT_BROADCAST_LIMIT):
+    """Keep rows of ``ds`` whose ``key_col`` appears (semi) / does not
+    appear (anti) in ``keys`` — the blocklist/allowlist filter every
+    100 TB pipeline needs without paying a full join's payload
+    shuffle.
+
+    ``keys``: a Dataset / Arrow table / pandas frame; ``keys_col``
+    names its key column (defaults to ``key_col``).  Small key sets
+    broadcast (``ray.put`` once, vectorized ``pc.is_in`` per batch —
+    zero shuffle); big ones route through ``apply_mapping``'s hash
+    join and filter on match validity."""
+    import ray
+    import ray.data as rd
+
+    keys_col = keys_col or key_col
+    if isinstance(keys, pa.Table):
+        keys = rd.from_arrow(keys)
+    elif isinstance(keys, pd.DataFrame):
+        keys = rd.from_pandas(keys)
+    keys = keys.materialize()
+    n = keys.count()
+
+    import pyarrow.compute as pc
+
+    if n <= broadcast_limit:
+        if n == 0:
+            if anti:
+                return ds
+            return ds.map_batches(lambda b: b.slice(0, 0),
+                                  batch_format="pyarrow")
+        kdf = keys.select_columns([keys_col]).to_pandas()[keys_col]
+        vs_ref = ray.put(pa.array(kdf.unique()))
+
+        def _filter(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column(key_col), value_set=ray.get(vs_ref))
+            if anti:
+                mask = pc.invert(mask)
+            return b.filter(mask)
+
+        return ds.map_batches(_filter, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    distinct = keys.groupby(keys_col).aggregate(Count(alias_name="_sj"))
+    marked = apply_mapping(ds, distinct, key_col, keys_col, "_sj", "_sj",
+                           broadcast_limit=broadcast_limit)
+
+    def _post(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b.column("_sj"))
+        if anti:
+            mask = pc.invert(mask)
+        return b.filter(mask).drop_columns(["_sj"])
+
+    return marked.map_batches(_post, batch_format="pyarrow")
+
+
+def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
+              rename: dict[str, str] | None = None):
+    """Backward as-of join: attach to every left row the right row with
+    the greatest ``ts`` ≤ the left row's ``ts`` within the same
+    ``key`` (DuckDB ``ASOF LEFT JOIN`` semantics — the standard
+    time-series enrichment the Dataset API lacks).
+
+    Plan: tag both sides, union, ONE hash-partitioned groupby on the
+    key, per-group time sort + forward-fill of the right values onto
+    left rows — no row-by-row probing, no repeated right-side scans.
+    At equal timestamps the right row wins first (inclusive match),
+    matching DuckDB.  ``right`` must be unique per (key, ts) — ties
+    there have no defined winner on either engine; pre-aggregate.
+
+    Partitioning assumption: one key's rows fit a reducer (same
+    contract as the default sliding/session windows; a celebrity key
+    needs the chunked pre-split treatment — carry each chunk's last
+    right row forward, mirroring windows.pre_split_chunk)."""
+    import pyarrow.compute as pc
+
+    rename = rename or {c: c for c in value_cols}
+    out_cols = [rename[c] for c in value_cols]
+
+    def _pa_type(t):
+        # Dataset.schema() yields numpy/python types for pandas-backed
+        # blocks; normalize to arrow (object columns are strings here)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.lib.ArrowNotImplementedError):
+            return pa.string()
+
+    lschema = left.schema()
+    rschema = right.schema()
+    left_names = lschema.names
+    ltype = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtype = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        t = b
+        for c, oc in zip(value_cols, out_cols):
+            t = t.append_column("_r_" + oc, pa.nulls(b.num_rows, rtype[c]))
+        return t.append_column("_side", pa.array(
+            np.ones(b.num_rows, np.int8), pa.int8()))
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        cols = {key: b.column(key), ts: b.column(ts)}
+        for c in left_names:
+            if c not in (key, ts):
+                cols[c] = pa.nulls(b.num_rows, ltype[c])
+        for c, oc in zip(value_cols, out_cols):
+            cols["_r_" + oc] = b.column(c)
+        cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8), pa.int8())
+        return pa.table({c: cols[c] for c in
+                         left_names + ["_r_" + oc for oc in out_cols]
+                         + ["_side"]})
+
+    def _reorder(b: pa.Table) -> pa.Table:
+        want = left_names + ["_r_" + oc for oc in out_cols] + ["_side"]
+        return pa.table({c: b.column(c) for c in want})
+
+    tagged = (left.map_batches(_tag_left, batch_format="pyarrow")
+              .map_batches(_reorder, batch_format="pyarrow")
+              .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, "_side"], kind="mergesort")  # right first
+        for oc in out_cols:
+            g["_r_" + oc] = g["_r_" + oc].ffill()
+        out = g[g["_side"] == 1].drop(columns=["_side"])
+        return out.rename(columns={"_r_" + oc: oc for oc in out_cols})
+
+    merged = tagged.groupby(key).map_groups(_merge, batch_format="pandas")
+
+    def _restore_types(b: pa.Table) -> pa.Table:
+        # pandas upcast the null-padded left int columns to float64
+        # through the group stage; cast back (values are integral)
+        import pyarrow.compute as pc
+
+        cols = {}
+        for c in left_names:
+            col = b.column(c)
+            cols[c] = pc.cast(col, ltype[c]) if col.type != ltype[c] else col
+        for oc in out_cols:
+            cols[oc] = b.column(oc)
+        return pa.table(cols)
+
+    return merged.map_batches(_restore_types, batch_format="pyarrow")
 
 
 def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,

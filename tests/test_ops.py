@@ -191,3 +191,71 @@ def test_grouped_topk(ray_session):
     b = expect.sort_values(["g", "v", "id"],
                            ascending=[True, False, True]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["g", "v", "id"]], b[["g", "v", "id"]])
+
+
+def test_semi_and_anti_join_both_paths(ray_session):
+    """semi_join: broadcast path (key set fits) and hash-join path
+    (broadcast_limit forces the shuffle) must agree; anti inverts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(100), "v": np.arange(100) * 2})).repartition(4)
+    keys = rd.from_pandas(pd.DataFrame({"kk": [3, 7, 7, 50, 99, 200]}))
+
+    def got(ds):
+        df = ds.to_pandas()
+        # empty Datasets can lose their columns through to_pandas
+        # (known ray 2.49 pitfall) — treat that as the empty result
+        return sorted(df["k"].tolist()) if "k" in df.columns else []
+
+    semi_b = got(semi_join(left, keys, "k", "kk"))
+    assert semi_b == [3, 7, 50, 99]
+    semi_s = got(semi_join(left, keys, "k", "kk", broadcast_limit=1))
+    assert semi_s == semi_b
+    anti_b = got(semi_join(left, keys, "k", "kk", anti=True))
+    assert len(anti_b) == 96 and 3 not in anti_b
+    anti_s = got(semi_join(left, keys, "k", "kk", anti=True,
+                           broadcast_limit=1))
+    assert anti_s == anti_b
+
+    # empty key set: semi -> nothing, anti -> everything
+    empty = rd.from_pandas(pd.DataFrame({"kk": pd.array([], dtype="int64")}))
+    assert got(semi_join(left, empty, "k", "kk")) == []
+    assert len(got(semi_join(left, empty, "k", "kk", anti=True))) == 100
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of join: greatest right ts <= left ts per key,
+    INCLUSIVE at equal timestamps, null when no prior right row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    T = lambda m: base + pd.Timedelta(minutes=m)
+    left = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": [T(0), T(10), T(20), T(5), T(6)],
+    })).repartition(2)
+    right = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": [T(10), T(15), T(6)],   # id=2 matches EQUAL ts 10
+        "px": [1.0, 2.0, 9.0],
+    })).repartition(2)
+
+    out = (asof_join(left, right, "k", "ts", ["px"],
+                     rename={"px": "last_px"})
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["id"].tolist() == [1, 2, 3, 4, 5]
+    got = out["last_px"].tolist()
+    assert pd.isna(got[0])          # no prior right row
+    assert got[1] == 1.0            # inclusive equal-ts match
+    assert got[2] == 2.0            # most recent of two priors
+    assert pd.isna(got[3])          # b@5 before b@6
+    assert got[4] == 9.0            # equal ts on key b
+    assert out["id"].dtype == np.int64  # left dtypes restored
