@@ -384,34 +384,43 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def verify_pairs_jaccard(ds, pairs, column: str, id_column: str, *,
-                         shingle_k: int = 3, threshold: float = 0.8):
+                         shingle_k: int = 3, threshold: float = 0.8,
+                         broadcast_ids_limit: int = 50_000,
+                         broadcast_pairs_limit: int = 200_000):
     """Distributed exact n-gram-Jaccard verification of LSH candidate
     pairs → Dataset (a, b, jaccard) of surviving edges.
 
     NOTHING proportional to the pair stream ever lands on the driver
-    (round-2 verdict item 1 closed the last gap — the candidate-id set
-    was previously a driver-side Python set): distinct candidate ids
-    are derived by a distributed groupby on the exploded pair table and
-    attached to the corpus via ``joins.apply_mapping`` (broadcast under
-    its row limit, hash semi-join above).  Shingle sets for candidate
-    docs are computed in ``map_batches`` and routed to their pairs by
-    two hash-partitioned groupbys:
+    UNGATED (round-2 verdict item 1 closed the last gap — the
+    candidate-id set was previously an unconditional driver-side
+    Python set): distinct candidate ids are derived by a distributed
+    groupby on the exploded pair table and attached to the corpus via
+    ``joins.apply_mapping`` (broadcast under its row limit, hash
+    semi-join above).
 
-      pairs  ──explode──▶ groupby(id) ─▶ distinct candidate ids
-      corpus ──apply_mapping semi-join──▶ (id, shingles)
+    Two plans, switched on the MEASURED candidate/pair counts (the
+    same broadcast-small-sides philosophy as ``apply_mapping``):
+
+    - **small** (≤ ``broadcast_ids_limit`` candidate ids AND ≤
+      ``broadcast_pairs_limit`` pairs): one distinct-pair aggregate,
+      then the (id → shingles) table broadcasts through
+      ``apply_mapping`` onto both pair slots and Jaccard runs in a
+      plain ``map_batches`` — 2 shuffles, no per-group pandas.
+    - **large**: shingle sets route to their pairs by two
+      hash-partitioned groupbys (bounded groups: per-id = one shingle
+      row + that doc's memberships; per-pair = exactly two rows):
+
       pairs  ──flat_map──▶ (id, pair, slot)        [2 rows per pair]
       union ─ groupby(id) ─▶ (pair, slot, shingles) [shingles fan out]
             ─ groupby(pair) ─▶ jaccard(slot0, slot1) ≥ threshold
-
-    Each group is bounded: per-id groups hold one shingle row plus that
-    doc's pair memberships; per-pair groups hold exactly two rows.
     """
     from ray.data.aggregate import Count
 
     from .joins import apply_mapping
 
     pairs = pairs.materialize()  # consumed twice (id scan + membership)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         import ray.data as rd
 
         return rd.from_items([])  # no candidate pairs at all
@@ -422,9 +431,54 @@ def verify_pairs_jaccard(ds, pairs, column: str, id_column: str, *,
             batch.column("b").combine_chunks()])})
 
     cand_ids = (pairs.map_batches(_explode_ids, batch_format="pyarrow")
-                .groupby("_nid").aggregate(Count(alias_name="_npairs")))
+                .groupby("_nid").aggregate(Count(alias_name="_npairs"))
+                .materialize())
+    n_cand = cand_ids.count()
     marked = apply_mapping(ds, cand_ids, id_column, "_nid",
                            "_npairs", "_npairs")
+
+    if n_cand <= broadcast_ids_limit and n_pairs <= broadcast_pairs_limit:
+        def _shingle_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.is_valid(batch.column("_npairs")))
+            sh = [s.tolist() for s in _shingle_hashes_batch(
+                t.column(column).to_pylist(), shingle_k)]
+            return pa.table({"id": t.column(id_column),
+                             "shingles": pa.array(sh, pa.list_(pa.uint64()))})
+
+        shingle_tbl = marked.map_batches(
+            _shingle_only, batch_format="pyarrow").materialize()
+        pairs_d = (pairs.groupby(["a", "b"])
+                   .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
+        pairs_d = apply_mapping(pairs_d, shingle_tbl, "a", "id",
+                                "shingles", "_sa")
+        pairs_d = apply_mapping(pairs_d, shingle_tbl, "b", "id",
+                                "shingles", "_sb")
+
+        def _jaccard(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = b.filter(pc.and_(pc.is_valid(b.column("_sa")),
+                                 pc.is_valid(b.column("_sb"))))
+            av = t.column("a").to_pylist()
+            bv = t.column("b").to_pylist()
+            sa = t.column("_sa").to_pylist()
+            sb = t.column("_sb").to_pylist()
+            oa, ob, oj = [], [], []
+            for x, y, s0, s1 in zip(av, bv, sa, sb):
+                s0, s1 = set(s0), set(s1)
+                j = 1.0 if not s0 and not s1 \
+                    else len(s0 & s1) / max(len(s0 | s1), 1)
+                if j >= threshold:
+                    oa.append(str(x))  # string ids: matches the large
+                    ob.append(str(y))  # plan's output dtype exactly
+                    oj.append(j)
+            return pa.table({"a": pa.array(oa, pa.string()),
+                             "b": pa.array(ob, pa.string()),
+                             "jaccard": pa.array(oj, pa.float64())})
+
+        return pairs_d.map_batches(_jaccard, batch_format="pyarrow")
 
     def _shingle_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
