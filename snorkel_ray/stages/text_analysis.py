@@ -56,7 +56,13 @@ def quality_features(text: str) -> tuple[float, float, float, int, float]:
     """(stopword_ratio, punct_ratio, mean_word_len, n_words, score).
     Deterministic quality heuristic in [0,1]: rewards stopword presence
     and sane word lengths, penalizes punctuation soup."""
-    words = _WORD_RE.findall(text.lower())
+    return _quality_from_words(text, _WORD_RE.findall(text.lower()))
+
+
+def _quality_from_words(text: str, words: list[str]):
+    """quality_features over an already-tokenized (lowered) word list
+    so the analyzer tokenizes each document once, not once per
+    feature family."""
     n = len(words)
     if n == 0:
         return 0.0, 0.0, 0.0, 0, 0.0
@@ -76,15 +82,25 @@ def count_tokens(text: str) -> tuple[int, int]:
     return ws, bpe
 
 
+def _fingerprint_from_words(words: list[str], window: int) -> int:
+    """min rolling-window hash over word n-grams, computed from an
+    already-tokenized word list: one memoized blake2b per DISTINCT
+    word + a vectorized position-mixed combine (dedup.py's shingle
+    kernel) instead of one blake2b per n-gram — the n-gram hashing was
+    the hot loop of the analyzer (n_words digests per document)."""
+    if not words:
+        return 0
+    from .dedup import _combine_shingles, _word_hash
+
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
+                     count=len(words))
+    return int(_combine_shingles(wh, window).min())
+
+
 def fingerprint64(text: str, window: int = 8) -> int:
     """Winnowing-style document fingerprint: min rolling-window hash of
     word 8-grams (robust to local edits; deterministic)."""
-    words = _WORD_RE.findall(text.lower())
-    if not words:
-        return 0
-    grams = [" ".join(words[i : i + window]) for i in range(max(1, len(words) - window + 1))]
-    return min(int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-               for g in grams)
+    return _fingerprint_from_words(_WORD_RE.findall(text.lower()), window)
 
 
 class TextAnalyzer:
@@ -100,12 +116,13 @@ class TextAnalyzer:
             [], [], [], [], [], [], [], [], []
         for t in texts:
             langs.append(detect_lang(t))
-            s, p, m, n, sc = quality_features(t)
+            words = _WORD_RE.findall(t.lower())  # shared tokenization:
+            s, p, m, n, sc = _quality_from_words(t, words)  # quality +
+            fps.append(_fingerprint_from_words(words, 8))   # fingerprint
             stops.append(s); puncts.append(p); mwls.append(m)
             n_words.append(n); scores.append(sc)
             w, b = count_tokens(t)
             ws_toks.append(w); bpe_toks.append(b)
-            fps.append(fingerprint64(t))
         return (
             batch.append_column("lang_pred", pa.array(langs, pa.string()))
             .append_column("stopword_ratio", pa.array(stops, pa.float64()))

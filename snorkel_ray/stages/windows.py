@@ -111,6 +111,31 @@ def session_windows(events, *, key: str = "user_id", ts: str = "ts",
     return per_chunk.groupby(key).map_groups(_merge, batch_format="pandas")
 
 
+def lag_column(events, *, key: str = "user_id", ts: str = "ts",
+               value: str = "value", n: int = 1, out: str | None = None,
+               lead: bool = False):
+    """Per-key LAG/LEAD: attach each row's value from ``n`` events
+    earlier (``lead=True``: later) in (ts, event_id) order — SQL
+    ``LAG(value, n) OVER (PARTITION BY key ORDER BY ts)``.  Null where
+    no such event exists.
+
+    Same partitioning contract as the default sliding window: one
+    group per key; for a celebrity key route through the chunked
+    pre-split (a lag-n carry needs only each chunk's first/last n
+    rows — the ``sliding_window_mean(pre_split_chunk=...)`` plan with
+    window n+1)."""
+    out = out or (f"lead_{value}" if lead else f"lag_{value}")
+    shift = -n if lead else n
+
+    def _lag(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts] + (["event_id"] if "event_id" in g.columns else [])
+        g = g.sort_values(order)
+        g[out] = g[value].shift(shift)
+        return g
+
+    return events.groupby(key).map_groups(_lag, batch_format="pandas")
+
+
 def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
                         value: str = "value", window: int = 3,
                         pre_split_chunk: str | None = None):

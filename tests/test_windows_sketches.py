@@ -318,3 +318,25 @@ def test_ivf_partitioned_read_prunes(ray_session, tmp_path):
     b = got.sort_values("vec_id").reset_index(drop=True)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert np.allclose(a["cosine"], b["cosine"])
+
+
+def test_lag_lead_column(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.windows import lag_column
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": [base, base + pd.Timedelta("1min"), base + pd.Timedelta("2min"),
+               base],
+        "value": [10.0, 20.0, 30.0, 5.0],
+        "event_id": [0, 1, 2, 3],
+    })
+    lag = (lag_column(rd.from_pandas(df), n=1).to_pandas()
+           .sort_values("event_id")["lag_value"].tolist())
+    assert pd.isna(lag[0]) and lag[1] == 10.0 and lag[2] == 20.0
+    assert pd.isna(lag[3])  # other key
+    lead = (lag_column(rd.from_pandas(df), n=1, lead=True).to_pandas()
+            .sort_values("event_id")["lead_value"].tolist())
+    assert lead[0] == 20.0 and lead[1] == 30.0 and pd.isna(lead[2])
