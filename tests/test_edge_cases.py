@@ -140,3 +140,49 @@ def test_apply_mapping_shuffle_path_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(bcast[["k", "v"]], joined[["k", "v"]])
     # missing keys fell back to the row's own column in both regimes
     assert (bcast.loc[bcast["k"].isin(["k5", "k6"]), "v"].str.startswith("F")).all()
+
+
+def test_asof_join_empty_right(ray_session):
+    """No right rows at all: every left row survives with a null
+    attachment (LEFT join semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2], "k": ["a", "b"], "ts": [base, base]}))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": pd.array([], dtype="str"),
+        "ts": pd.array([], dtype="datetime64[ns]"),
+        "px": pd.array([], dtype="float64")}))
+    out = asof_join(left, right, "k", "ts", ["px"]).to_pandas()
+    assert len(out) == 2
+    assert out["px"].isna().all()
+
+
+def test_grouped_topk_k_exceeds_group(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.skew import grouped_topk
+
+    df = pd.DataFrame({"g": ["x", "x", "y"], "v": [1, 2, 3],
+                       "id": [0, 1, 2]})
+    out = grouped_topk(rd.from_pandas(df), "g", ["v", "id"],
+                       k=10).to_pandas()
+    assert len(out) == 3  # k larger than any group: everything kept
+
+
+def test_kll_empty_and_single(ray_session):
+    import math
+
+    from snorkel_ray.stages.sketches import KLL
+
+    s = KLL(64)
+    assert math.isnan(s.quantile(0.5))
+    s.add_batch([42.0])
+    assert s.quantile(0.0) == s.quantile(1.0) == 42.0
+    merged = KLL(64).merge(s)
+    assert merged.quantile(0.5) == 42.0 and merged.n == 1
