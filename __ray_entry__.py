@@ -498,6 +498,40 @@ def q_asof_last_click(sf_dir: str):
             .sort("event_id"))
 
 
+def q_asof_last_click_chunked(sf_dir: str):
+    """The same as-of join through the hot-key-safe two-level plan
+    (pre_split_chunk) — hash-checked against the identical ASOF JOIN
+    oracle, proving the chunked plan exact on real data."""
+    from ray.data.aggregate import Max
+
+    from snorkel_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def _nonclick(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+        }).filter(pc.not_equal(b.column("event_type"), "click"))
+
+    def _click(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"), "value": t.column("value")})
+
+    left = ev.map_batches(_nonclick, batch_format="pyarrow")
+    right = (ev.map_batches(_click, batch_format="pyarrow")
+             .groupby(["user_id", "ts"])
+             .aggregate(Max("value", alias_name="value")))
+    out = asof_join(left, right, "user_id", "ts", ["value"],
+                    rename={"value": "last_click_value"},
+                    pre_split_chunk="1D")
+    return (out.select_columns(["event_id", "last_click_value"])
+            .sort("event_id"))
+
+
 def q_order_price_quantiles(sf_dir: str):
     """Exact median order price by priority: groupby + per-group numpy
     median (interpolates the two middle values on even counts, matching
@@ -891,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_windows": q_user_daily_windows,
         "event_value_lag": q_event_value_lag,
         "asof_last_click": q_asof_last_click,
+        "asof_last_click_chunked": q_asof_last_click_chunked,
         "order_price_quantiles": q_order_price_quantiles,
         "approx_price_quantiles": q_approx_price_quantiles,
         "sliding_window_mean": q_sliding_window_mean,
@@ -1019,6 +1054,14 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS prev_value
             FROM events ORDER BY event_id""",
         "asof_last_click": """
+            SELECT l.event_id, r.value AS last_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type != 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                            FROM events WHERE event_type = 'click'
+                            GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",        "asof_last_click_chunked": """
             SELECT l.event_id, r.value AS last_click_value
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type != 'click') l

@@ -85,7 +85,8 @@ def semi_join(ds, keys, key_col: str, keys_col: str | None = None, *,
 
 
 def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
-              rename: dict[str, str] | None = None):
+              rename: dict[str, str] | None = None,
+              pre_split_chunk: str | None = None):
     """Backward as-of join: attach to every left row the right row with
     the greatest ``ts`` ≤ the left row's ``ts`` within the same
     ``key`` (DuckDB ``ASOF LEFT JOIN`` semantics — the standard
@@ -98,10 +99,17 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
     matching DuckDB.  ``right`` must be unique per (key, ts) — ties
     there have no defined winner on either engine; pre-aggregate.
 
-    Partitioning assumption: one key's rows fit a reducer (same
-    contract as the default sliding/session windows; a celebrity key
-    needs the chunked pre-split treatment — carry each chunk's last
-    right row forward, mirroring windows.pre_split_chunk)."""
+    Default partitioning: one key's rows fit a reducer (same contract
+    as the default sliding/session windows).  ``pre_split_chunk``
+    (e.g. "1D") switches to the hot-key-safe two-level plan: per
+    ``(key, time-chunk)`` groups fill within-chunk matches; each
+    chunk's LAST right row becomes a boundary summary, a per-key scan
+    over the summary table (O(#chunks) rows per key, ≪ events)
+    computes every chunk's carry-in, and unmatched left rows get it
+    via ``apply_mapping`` on (key, chunk) — a celebrity key's full
+    history never sorts in one reducer.  Exact: a left row with no
+    within-chunk match joins the latest right row of any earlier
+    chunk, which is by construction that chunk's summary row."""
     import pyarrow.compute as pc
 
     rename = rename or {c: c for c in value_cols}
@@ -150,15 +158,6 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
               .map_batches(_reorder, batch_format="pyarrow")
               .union(right.map_batches(_tag_right, batch_format="pyarrow")))
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "_side"], kind="mergesort")  # right first
-        for oc in out_cols:
-            g["_r_" + oc] = g["_r_" + oc].ffill()
-        out = g[g["_side"] == 1].drop(columns=["_side"])
-        return out.rename(columns={"_r_" + oc: oc for oc in out_cols})
-
-    merged = tagged.groupby(key).map_groups(_merge, batch_format="pandas")
-
     def _restore_types(b: pa.Table) -> pa.Table:
         # pandas upcast the null-padded left int columns to float64
         # through the group stage; cast back (values are integral)
@@ -172,7 +171,119 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
             cols[oc] = b.column(oc)
         return pa.table(cols)
 
+    if pre_split_chunk is not None:
+        return _asof_chunked(tagged, key, ts, out_cols, pre_split_chunk,
+                             _restore_types)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, "_side"], kind="mergesort")  # right first
+        for oc in out_cols:
+            g["_r_" + oc] = g["_r_" + oc].ffill()
+        out = g[g["_side"] == 1].drop(columns=["_side"])
+        return out.rename(columns={"_r_" + oc: oc for oc in out_cols})
+
+    merged = tagged.groupby(key).map_groups(_merge, batch_format="pandas")
     return merged.map_batches(_restore_types, batch_format="pyarrow")
+
+
+def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
+                  pre_split_chunk: str, restore_types):
+    """Two-level as-of plan over the tagged union (see ``asof_join``).
+
+    Level 1 (groups bounded by chunk width × event rate): within-chunk
+    ffill; left rows split into settled ('done') vs pre-first-right
+    ('head'); one 'ctx' summary per chunk with right rows (its last
+    right values) and one 'need' marker per chunk with heads.
+    Level 2 (O(#chunks) rows per key): per-key scan of ctx/need rows
+    in chunk order — each need chunk's carry = the latest ctx of a
+    STRICTLY earlier chunk ('need' sorts before 'ctx' within a chunk,
+    so a chunk's own summary never fills its heads).  Heads then pick
+    up the carry via ``apply_mapping`` on the (key, chunk) composite
+    (broadcast under its limit, hash join above)."""
+    import pyarrow.compute as pc
+
+    chunk = pd.Timedelta(pre_split_chunk)
+    rcols = ["_r_" + oc for oc in out_cols]
+
+    def _add_chunk(b: pa.Table) -> pa.Table:
+        c = b.column(ts).to_pandas().dt.floor(chunk)
+        return b.append_column("_chunk", pa.Array.from_pandas(c))
+
+    def _l1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, "_side"], kind="mergesort")  # right first
+        g["_seen"] = (g["_side"] == 0).cumsum() > 0
+        for rc in rcols:
+            g[rc] = g[rc].ffill()
+        left_rows = g[g["_side"] == 1]
+        done = left_rows[left_rows["_seen"]].copy()
+        done["_role"] = "done"
+        head = left_rows[~left_rows["_seen"]].copy()
+        head[rcols] = None
+        head["_role"] = "head"
+        parts = [done, head]
+        rights = g[g["_side"] == 0]
+        if len(rights):
+            ctx = rights.iloc[[-1]].copy()
+            ctx["_role"] = "ctx"
+            parts.append(ctx)
+        if len(head):
+            need = head.iloc[[0]].copy()
+            need["_role"] = "need"
+            parts.append(need)
+        return pd.concat(parts, ignore_index=True).drop(columns=["_seen"])
+
+    def _l2(g: pd.DataFrame) -> pd.DataFrame:
+        # 'need' (0) sorts before 'ctx' (1) within a chunk: heads must
+        # not see their own chunk's summary
+        g = g.copy()
+        g["_rs"] = (g["_role"] == "ctx").astype(int)
+        g = g.sort_values(["_chunk", "_rs"], kind="mergesort")
+        for rc in rcols:
+            g[rc] = g[rc].ffill()
+        need = g[g["_role"] == "need"]
+        out = need[[key, "_chunk"] + rcols].copy()
+        return out
+
+    staged = (tagged.map_batches(_add_chunk, batch_format="pyarrow")
+              .groupby([key, "_chunk"])
+              .map_groups(_l1, batch_format="pandas")
+              .materialize())  # consumed by done/head/boundary splits
+
+    def _role(want):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("_role"),
+                                     value_set=pa.array(list(want))))
+
+        return _f
+
+    done = staged.map_batches(_role({"done"}), batch_format="pyarrow")
+    heads = staged.map_batches(_role({"head"}), batch_format="pyarrow")
+    boundary = staged.map_batches(_role({"ctx", "need"}),
+                                  batch_format="pyarrow")
+    carry = boundary.groupby(key).map_groups(_l2, batch_format="pandas")
+
+    def _ck(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(key), pa.string())
+        c = pc.cast(pc.cast(b.column("_chunk"), pa.int64()), pa.string())
+        return b.append_column("_ck", pc.binary_join_element_wise(k, c, "\x1f"))
+
+    heads = heads.map_batches(_ck, batch_format="pyarrow") \
+        .drop_columns(rcols)
+    carry = carry.map_batches(_ck, batch_format="pyarrow").materialize()
+    for rc in rcols:
+        heads = apply_mapping(heads, carry, "_ck", "_ck", rc, rc)
+
+    def _clean(b: pa.Table) -> pa.Table:
+        keep = [c for c in b.schema.names
+                if c not in ("_role", "_chunk", "_ck", "_side")]
+        t = pa.table({c: b.column(c) for c in keep})
+        return t.rename_columns([c[3:] if c.startswith("_r_") else c
+                                 for c in t.schema.names])
+
+    filled = heads.map_batches(_clean, batch_format="pyarrow")
+    done = done.map_batches(_clean, batch_format="pyarrow")
+    return (done.union(filled)
+            .map_batches(restore_types, batch_format="pyarrow"))
 
 
 def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,

@@ -259,3 +259,41 @@ def test_asof_join_semantics(ray_session):
     assert pd.isna(got[3])          # b@5 before b@6
     assert got[4] == 9.0            # equal ts on key b
     assert out["id"].dtype == np.int64  # left dtypes restored
+
+
+def test_asof_join_chunked_matches_plain(ray_session):
+    """pre_split_chunk two-level as-of plan must equal the single-group
+    plan exactly — including chunks with no right rows (carry chases
+    several chunks back) and left rows before any right row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(13)
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    eid = 0
+    for uid in range(4):
+        t = base
+        for _ in range(200):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 4000)))
+            lrows.append({"id": eid, "k": f"u{uid}", "ts": t})
+            eid += 1
+            if rng.random() < 0.15:  # sparse right side
+                rrows.append({"k": f"u{uid}",
+                              "ts": t + pd.Timedelta(seconds=30),
+                              "px": float(rng.uniform(0, 100))})
+    left = rd.from_pandas(pd.DataFrame(lrows)).repartition(4)
+    right = rd.from_pandas(pd.DataFrame(rrows)).repartition(3)
+
+    plain = asof_join(left, right, "k", "ts", ["px"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    chunked = asof_join(left, right, "k", "ts", ["px"],
+                        pre_split_chunk="1D") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(plain) == len(chunked) == len(lrows)
+    eq = ((plain["px"] == chunked["px"])
+          | (plain["px"].isna() & chunked["px"].isna()))
+    assert eq.all()
+    assert plain["px"].isna().sum() > 0  # the no-prior-right case occurs
