@@ -448,6 +448,21 @@ def q_sliding_window_mean_chunked(sf_dir: str):
     return _sliding_proj(out)
 
 
+def q_event_value_lag_chunked(sf_dir: str):
+    """Per-user LAG through the hot-key-safe two-level plan — same SQL
+    oracle as the single-group variant."""
+    from snorkel_ray.stages.windows import lag_column
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = lag_column(ds, n=1, pre_split_chunk="1D")
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "prev_value": b.column("lag_value")})
+
+    return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
+
+
 def q_event_value_lag(sf_dir: str):
     """Per-user LAG(value, 1) in event-time order — the windowed
     offset function family (lag/lead), SQL-checked."""
@@ -924,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "user_daily_windows": q_user_daily_windows,
         "event_value_lag": q_event_value_lag,
+        "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click": q_asof_last_click,
         "asof_last_click_chunked": q_asof_last_click_chunked,
         "order_price_quantiles": q_order_price_quantiles,
@@ -1049,6 +1065,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id, date_trunc('day', ts)
             ) GROUP BY user_id ORDER BY user_id""",
         "event_value_lag": """
+            SELECT event_id,
+                   lag(value, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_value
+            FROM events ORDER BY event_id""",        "event_value_lag_chunked": """
             SELECT event_id,
                    lag(value, 1) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_value

@@ -113,27 +113,83 @@ def session_windows(events, *, key: str = "user_id", ts: str = "ts",
 
 def lag_column(events, *, key: str = "user_id", ts: str = "ts",
                value: str = "value", n: int = 1, out: str | None = None,
-               lead: bool = False):
+               lead: bool = False, pre_split_chunk: str | None = None):
     """Per-key LAG/LEAD: attach each row's value from ``n`` events
     earlier (``lead=True``: later) in (ts, event_id) order — SQL
     ``LAG(value, n) OVER (PARTITION BY key ORDER BY ts)``.  Null where
     no such event exists.
 
-    Same partitioning contract as the default sliding window: one
-    group per key; for a celebrity key route through the chunked
-    pre-split (a lag-n carry needs only each chunk's first/last n
-    rows — the ``sliding_window_mean(pre_split_chunk=...)`` plan with
-    window n+1)."""
+    Default: one group per key.  ``pre_split_chunk`` (e.g. "1D")
+    switches to the hot-key-safe two-level plan (same shape as
+    ``sliding_window_mean``'s): rows with ≥ n in-chunk predecessors
+    (successors for lead) settle in the per-(key, chunk) pass; each
+    chunk's boundary n rows become context, and the per-key fix-up
+    touches only O(#chunks × n) rows."""
     out = out or (f"lead_{value}" if lead else f"lag_{value}")
     shift = -n if lead else n
 
+    def _order_cols(g):
+        return [ts] + (["event_id"] if "event_id" in g.columns else [])
+
     def _lag(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts] + (["event_id"] if "event_id" in g.columns else [])
-        g = g.sort_values(order)
+        g = g.sort_values(_order_cols(g))
         g[out] = g[value].shift(shift)
         return g
 
-    return events.groupby(key).map_groups(_lag, batch_format="pandas")
+    if pre_split_chunk is None:
+        return events.groupby(key).map_groups(_lag, batch_format="pandas")
+
+    chunk = pd.Timedelta(pre_split_chunk)
+
+    def _add_chunk(b: pa.Table) -> pa.Table:
+        c = b.column(ts).to_pandas().dt.floor(chunk)
+        return b.append_column("_chunk", pa.Array.from_pandas(c))
+
+    def _level1(g: pd.DataFrame) -> pd.DataFrame:
+        g = _lag(g.drop(columns=["_chunk"]))
+        m = len(g)
+        idx = np.arange(m)
+        if lead:
+            settled_mask = idx < m - n     # have n in-chunk successors
+            head = g.iloc[idx[idx >= m - n]].copy()   # need next chunks
+            tail = g.iloc[: min(n, m)].copy()         # ctx for PREV chunk
+        else:
+            settled_mask = idx >= n        # have n in-chunk predecessors
+            head = g.iloc[idx[idx < n]].copy()        # need prev chunks
+            tail = g.iloc[max(0, m - n):].copy()      # ctx for NEXT chunk
+        settled = g.iloc[idx[settled_mask]].copy()
+        settled["_role"] = "done"
+        head["_role"] = "head"
+        tail["_role"] = "ctx"
+        return pd.concat([settled, head, tail], ignore_index=True)
+
+    def _level2(g: pd.DataFrame) -> pd.DataFrame:
+        order = _order_cols(g)
+        heads = g[g["_role"] == "head"]
+        dedup = (g.drop_duplicates(order, keep="first")
+                 .sort_values(order).reset_index(drop=True))
+        dedup[out] = dedup[value].shift(shift)
+        keys = set(map(tuple, heads[order].itertuples(index=False)))
+        mask = dedup[order].apply(tuple, axis=1).isin(keys)
+        return dedup[mask].drop(columns=["_role"])
+
+    import pyarrow.compute as pc
+
+    def _role_filter(want_done: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            eq = pc.equal(b.column("_role"), "done")
+            t = b.filter(eq if want_done else pc.invert(eq))
+            return t.drop_columns(["_role"]) if want_done else t
+
+        return _f
+
+    chunked = events.map_batches(_add_chunk, batch_format="pyarrow")
+    staged = chunked.groupby([key, "_chunk"]).map_groups(
+        _level1, batch_format="pandas").materialize()
+    done = staged.map_batches(_role_filter(True), batch_format="pyarrow")
+    boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
+    fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
+    return done.union(fixed)
 
 
 def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",

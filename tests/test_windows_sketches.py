@@ -340,3 +340,35 @@ def test_lag_lead_column(ray_session):
     lead = (lag_column(rd.from_pandas(df), n=1, lead=True).to_pandas()
             .sort_values("event_id")["lead_value"].tolist())
     assert lead[0] == 20.0 and lead[1] == 30.0 and pd.isna(lead[2])
+
+
+def test_lag_presplit_matches_plain(ray_session):
+    """Chunked lag/lead must equal the single-group plan exactly,
+    including predecessors spanning multiple sparse chunks."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.windows import lag_column
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for uid in range(3):
+        t = base
+        for _ in range(150):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 4000)))
+            rows.append({"user_id": uid, "ts": t,
+                         "value": float(rng.uniform(0, 10)),
+                         "event_id": eid})
+            eid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    for kw in ({"n": 2}, {"n": 1, "lead": True}):
+        col = "lead_value" if kw.get("lead") else "lag_value"
+        plain = (lag_column(ds, **kw).to_pandas()
+                 .sort_values("event_id").reset_index(drop=True))
+        chunked = (lag_column(ds, pre_split_chunk="1D", **kw).to_pandas()
+                   .sort_values("event_id").reset_index(drop=True))
+        assert len(plain) == len(chunked) == len(rows)
+        eq = ((plain[col] == chunked[col])
+              | (plain[col].isna() & chunked[col].isna()))
+        assert eq.all(), (kw, int((~eq).sum()))
