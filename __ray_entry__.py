@@ -339,6 +339,49 @@ def q_dedup_with_ties(sf_dir: str):
 
 # --- scalar functions / json ------------------------------------------------
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (n-gram overlap, GPT-3 appendix-C
+    style): eval set = docs with doc_id % 97 == 0, needle = each eval
+    doc's first 3 words; every non-eval doc containing any needle as a
+    substring is contaminated. One streaming flag pass with the needle
+    list broadcast once; the oracle replicates with contains()."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.decontaminate import flag_contaminated
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _needles(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"))
+        texts = b.column("text").to_pylist()
+        ngs = [" ".join(t.split(" ")[:3])
+               for i, t in zip(ids, texts) if i % 97 == 0]
+        return pa.table({"ng": pa.array(ngs, pa.string())})
+
+    needles = sorted(
+        r["ng"] for r in
+        ds.map_batches(_needles, batch_format="pyarrow").take_all())
+
+    def _train(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(np.asarray(b.column("doc_id")) % 97 != 0))
+
+    flagged = flag_contaminated(
+        ds.map_batches(_train, batch_format="pyarrow"), "text",
+        needles=needles)
+
+    def _tally(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("contaminated"), dtype=np.int64)
+        return pa.table({"lang": b.column("lang"),
+                         "c": pa.array(c, pa.int64()),
+                         "k": pa.array(1 - c, pa.int64())})
+
+    return (flagged.map_batches(_tally, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("c", alias_name="n_contaminated"),
+                       Sum("k", alias_name="n_clean"))
+            .sort("lang"))
+
+
 def q_events_json_extract(sf_dir: str):
     """JSON scalar path over events.props + grouped mean."""
     from ray.data.aggregate import Count, Mean
@@ -931,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_part_types": q_distinct_part_types,
         "exact_dedup_documents": q_exact_dedup_documents,
         "dedup_with_ties": q_dedup_with_ties,
+        "decontaminate_docs": q_decontaminate_docs,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_json_extract": q_events_json_extract,
@@ -1030,6 +1074,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT p_type) AS n_types FROM part""",
         "exact_dedup_documents": """
             SELECT count(DISTINCT text) AS n_unique FROM documents""",
+        "decontaminate_docs": """
+            WITH needles AS (
+              SELECT DISTINCT
+                     array_to_string(string_split(text, ' ')[1:3], ' ') AS ng
+              FROM documents WHERE doc_id % 97 = 0 AND ng != ''
+            ),
+            train AS (
+              SELECT lang,
+                     EXISTS (SELECT 1 FROM needles
+                             WHERE contains(d.text, needles.ng)) AS c
+              FROM documents d WHERE doc_id % 97 != 0
+            )
+            SELECT lang,
+                   CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   CAST(sum(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_clean
+            FROM train GROUP BY lang ORDER BY lang""",
         "events_json_extract": """
             SELECT event_type,
                    round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
