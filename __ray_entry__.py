@@ -382,6 +382,39 @@ def q_decontaminate_docs(sf_dir: str):
             .sort("lang"))
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style quality battery (SQL-expressible subset: word-count
+    bounds, mean-word-length bounds, >=80% alphabetic words, >=2
+    stop-word hits) — per-lang pass counts. All predicates are
+    evaluated on INTEGER counts on both sides (5*alpha >= 4*n instead
+    of alpha/n >= 0.8) so the strict stringified-hash gate can't trip
+    on float boundary ties."""
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.quality_filters import gopher_metrics
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    m = gopher_metrics(ds)
+
+    def _pass(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("qf_n_words"))
+        tot = np.asarray(b.column("qf_total_word_chars"))
+        alpha = np.asarray(b.column("qf_alpha_words"))
+        stop = np.asarray(b.column("qf_stop_hits"))
+        ok = ((n >= 20) & (n <= 1000)
+              & (tot >= 3 * n) & (tot <= 10 * n)
+              & (5 * alpha >= 4 * n)
+              & (stop >= 2))
+        return pa.table({"lang": b.column("lang"),
+                         "p": pa.array(ok.astype(np.int64), pa.int64())})
+
+    return (m.map_batches(_pass, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("p", alias_name="n_pass"),
+                       Count(alias_name="n_docs"))
+            .sort("lang"))
+
+
 def q_events_json_extract(sf_dir: str):
     """JSON scalar path over events.props + grouped mean."""
     from ray.data.aggregate import Count, Mean
@@ -975,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "dedup_with_ties": q_dedup_with_ties,
         "decontaminate_docs": q_decontaminate_docs,
+        "gopher_quality": q_gopher_quality,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_json_extract": q_events_json_extract,
@@ -1092,6 +1126,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT)
                      AS n_clean
             FROM train GROUP BY lang ORDER BY lang""",
+        "gopher_quality": """
+            WITH m AS (
+              SELECT lang,
+                     len(string_split(text, ' ')) AS n,
+                     list_sum(list_transform(string_split(text, ' '),
+                       x -> len(x))) AS tot,
+                     list_sum(list_transform(string_split(text, ' '),
+                       x -> CASE WHEN regexp_matches(x, '[A-Za-z]')
+                            THEN 1 ELSE 0 END)) AS alpha,
+                     list_sum(list_transform(string_split(text, ' '),
+                       x -> CASE WHEN x IN ('the','and','of','to','in',
+                                            'is','was','for','with','that')
+                            THEN 1 ELSE 0 END)) AS stop
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(sum(CASE WHEN n BETWEEN 20 AND 1000
+                                  AND tot BETWEEN 3*n AND 10*n
+                                  AND 5*alpha >= 4*n
+                                  AND stop >= 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   count(*) AS n_docs
+            FROM m GROUP BY lang ORDER BY lang""",
         "events_json_extract": """
             SELECT event_type,
                    round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
