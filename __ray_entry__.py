@@ -382,6 +382,56 @@ def q_decontaminate_docs(sf_dir: str):
             .sort("lang"))
 
 
+def q_sample_orders_fraction(sf_dir: str):
+    """Deterministic 10% Bernoulli sample by Knuth hash of o_orderkey
+    (SQL-replicable, partition-invariant), aggregated per priority."""
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = (hash_sample(ds, "o_orderkey", 0.1)
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_sampled"),
+                      Sum("o_totalprice", alias_name="sum_price")))
+    return _round_cols(out, {"sum_price": 2}).sort("o_orderpriority")
+
+
+def q_stratified_sample_customers(sf_dir: str):
+    """Deterministic bottom-5-by-hash per market segment (skew-safe
+    grouped_topk plan)."""
+    from snorkel_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = stratified_sample(ds, "c_mktsegment", "c_custkey", 5)
+    return out.sort(["c_mktsegment", "c_custkey"])
+
+
+def q_split_assignment_counts(sf_dir: str):
+    """Deterministic 80/10/10 split assignment over documents."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.sampling import split_by_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = split_by_hash(ds, "doc_id",
+                        {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return (out.groupby("split").aggregate(Count(alias_name="n_docs"))
+            .sort("split"))
+
+
+def q_bottom_k_sample_orders(sf_dir: str):
+    """Fixed-size uniform sample: 50 orders with the smallest Knuth
+    hash — per-batch partial bottom-k + driver merge (the
+    deterministic distributed reservoir)."""
+    from snorkel_ray.stages.sampling import bottom_k_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    t = bottom_k_sample(ds, "o_orderkey", 50)
+    return t.sort_by("o_orderkey")
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style quality battery (SQL-expressible subset: word-count
     bounds, mean-word-length bounds, >=80% alphabetic words, >=2
@@ -1009,6 +1059,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_with_ties": q_dedup_with_ties,
         "decontaminate_docs": q_decontaminate_docs,
         "gopher_quality": q_gopher_quality,
+        "sample_orders_fraction": q_sample_orders_fraction,
+        "stratified_sample_customers": q_stratified_sample_customers,
+        "split_assignment_counts": q_split_assignment_counts,
+        "bottom_k_sample_orders": q_bottom_k_sample_orders,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_json_extract": q_events_json_extract,
@@ -1126,6 +1180,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT)
                      AS n_clean
             FROM train GROUP BY lang ORDER BY lang""",
+        "sample_orders_fraction": """
+            SELECT o_orderpriority, count(*) AS n_sampled,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "stratified_sample_customers": """
+            SELECT c_custkey, c_mktsegment FROM (
+              SELECT c_custkey, c_mktsegment,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY (c_custkey * 2654435761) % 4294967296,
+                                c_custkey) AS rn
+              FROM customer
+            ) WHERE rn <= 5 ORDER BY c_mktsegment, c_custkey""",
+        "split_assignment_counts": """
+            SELECT split, count(*) AS n_docs FROM (
+              SELECT CASE
+                WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                  THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  THEN 'valid'
+                ELSE 'test' END AS split
+              FROM documents
+            ) GROUP BY split ORDER BY split""",
+        "bottom_k_sample_orders": """
+            SELECT o_orderkey FROM orders
+            ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+            LIMIT 50""",
         "gopher_quality": """
             WITH m AS (
               SELECT lang,
