@@ -432,6 +432,164 @@ def q_bottom_k_sample_orders(sf_dir: str):
     return t.sort_by("o_orderkey")
 
 
+def q_frequent_line_removal(sf_dir: str):
+    """CCNet/C4-style frequent-line (boilerplate) removal: segments
+    occurring in >= 3 distinct documents are dropped.  The sf docs are
+    single-line, so ' the ' serves as the segment separator (plain
+    substring split — exactly DuckDB string_split).  Per-lang kept /
+    removed segment totals."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.corpus_stats import remove_frequent_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    cleaned = remove_frequent_lines(ds, "text", sep=" the ",
+                                    min_docs=3, stats=True)
+    return (cleaned.groupby("lang")
+            .aggregate(Sum("n_kept_lines", alias_name="kept_lines"),
+                       Sum("n_removed_lines", alias_name="removed_lines"))
+            .sort("lang"))
+
+
+def q_bigram_top20(sf_dir: str):
+    """Exact global top-20 bigrams: per-batch Counter partials →
+    one groupby-sum → per-batch partial top-k + driver merge (no
+    global sort; the shuffle moves distinct-bigrams-per-block)."""
+    from snorkel_ray.stages.corpus_stats import top_ngrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return top_ngrams(ds, "text", n=2, k=20)
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (customer x orders x lineitem): BUILDING
+    segment, orders before / shipments after 1998-01-01, top 10
+    orders by revenue.  Plan: count-gated semi-join prunes orders to
+    the segment's custkeys, lineitem pre-aggregates revenue per
+    orderkey INSIDE map_batches (combiner) before the single hash
+    join, final groupby + tiny sort."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b.column("o_orderdate"),
+                    pa.scalar(np.datetime64("1998-01-01", "us")))),
+            batch_format="pyarrow")
+    orders = semi_join(orders, cust, "o_custkey", "c_custkey")
+
+    def _rev_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"),
+                                pa.scalar(np.datetime64("1998-01-01", "us"))))
+        import pandas as pd
+
+        rev = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))
+        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
+                           "revenue": rev})
+        out = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(_rev_partial, batch_format="pyarrow")
+    joined = li.join(orders.select_columns(["o_orderkey", "o_orderdate"]),
+                     join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("revenue", alias_name="revenue"))
+    out = _round_cols(agg, {"revenue": 2}) \
+        .sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return out
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (region x nation x customer x orders x lineitem
+    x supplier): per-nation revenue in ASIA, 1996, local suppliers
+    only (c_nationkey = s_nationkey).  Plan: the three dim tables
+    broadcast as driver dicts (region->nation set, suppkey->nationkey,
+    custkey->nationkey is NOT broadcast — customer scales with users,
+    so it rides a count-gated apply_mapping); one hash join
+    lineitem x orders on the shared orderkey; revenue pre-aggregated
+    per (orderkey, s_nationkey) before the join."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_key = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")[0].as_py()
+    nkeys = nation.filter(
+        pc.equal(nation.column("n_regionkey"), asia_key))
+    asia_nations = set(nkeys.column("n_nationkey").to_pylist())
+    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    smap = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    smap = dict(zip(smap.column("s_suppkey").to_pylist(),
+                    smap.column("s_nationkey").to_pylist()))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            b.column("c_nationkey"), value_set=pa.array(sorted(asia_nations)))),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"),
+                             pa.scalar(np.datetime64("1996-01-01", "us"))),
+            pc.less(b.column("o_orderdate"),
+                    pa.scalar(np.datetime64("1997-01-01", "us"))))),
+            batch_format="pyarrow")
+    orders = apply_mapping(orders, cust, "o_custkey", "c_custkey",
+                           "c_nationkey", "c_nationkey")
+    orders = orders.map_batches(lambda b: b.filter(
+        pc.is_valid(b.column("c_nationkey"))), batch_format="pyarrow") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sn = np.array([smap.get(k, -1)
+                       for k in b.column("l_suppkey").to_pylist()])
+        keep = np.isin(sn, list(asia_nations))
+        rev = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))
+        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey"))[keep],
+                           "s_nationkey": sn[keep],
+                           "revenue": rev[keep]})
+        out = df.groupby(["l_orderkey", "s_nationkey"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(_li_partial, batch_format="pyarrow")
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = joined.map_batches(lambda b: b.filter(
+        pc.equal(b.column("s_nationkey"), b.column("c_nationkey"))),
+        batch_format="pyarrow")
+
+    def _name(b: pa.Table) -> pa.Table:
+        names = [nname[k] for k in b.column("s_nationkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue": b.column("revenue")})
+
+    agg = (joined.map_batches(_name, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
+    return _round_cols(agg, {"revenue": 2}) \
+        .sort(["revenue", "n_name"], descending=[True, False])
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style quality battery (SQL-expressible subset: word-count
     bounds, mean-word-length bounds, >=80% alphabetic words, >=2
@@ -1059,6 +1217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_with_ties": q_dedup_with_ties,
         "decontaminate_docs": q_decontaminate_docs,
         "gopher_quality": q_gopher_quality,
+        "frequent_line_removal": q_frequent_line_removal,
+        "bigram_top20": q_bigram_top20,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "stratified_sample_customers": q_stratified_sample_customers,
         "split_assignment_counts": q_split_assignment_counts,
@@ -1180,6 +1342,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c THEN 0 ELSE 1 END) AS BIGINT)
                      AS n_clean
             FROM train GROUP BY lang ORDER BY lang""",
+        "frequent_line_removal": """
+            WITH ex AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, ' the ')) AS line
+              FROM documents
+            ), f AS (
+              SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
+              GROUP BY line HAVING count(*) >= 3
+            )
+            SELECT lang,
+                   CAST(sum(CASE WHEN line IN (SELECT line FROM f)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS kept_lines,
+                   CAST(sum(CASE WHEN line IN (SELECT line FROM f)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines
+            FROM ex GROUP BY lang ORDER BY lang""",
+        "bigram_top20": """
+            WITH d AS (SELECT string_split_regex(lower(text), '[^a-z0-9]+') AS ws
+                       FROM documents),
+            i AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM d),
+            g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM i
+                  WHERE ws[i] <> '' AND ws[i+1] <> '')
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
+            GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name""",
         "sample_orders_fraction": """
             SELECT o_orderpriority, count(*) AS n_sampled,
                    round(sum(o_totalprice), 2) AS sum_price
