@@ -590,6 +590,70 @@ def q_tpch_q5(sf_dir: str):
         .sort(["revenue", "n_name"], descending=[True, False])
 
 
+def q_pii_redaction(sf_dir: str):
+    """PII scrub: deterministic synthetic PII (email/IPv4/phone derived
+    from doc_id) is injected into each document, then redacted by
+    stages/pii.py; per-lang redaction counts + total redacted length.
+    The patterns are RE2-compatible so DuckDB regexp_replace replicates
+    the scrub byte-for-byte (the oracle SQL interpolates the SAME
+    pattern constants)."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.pii import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [f"{t} contact user{i}@example.com at 10.{i % 256}.0.1"
+               f" or +1-555-{1000 + i % 9000}"
+               for i, t in zip(ids, texts)]
+        j = b.schema.get_field_index("text")
+        return b.set_column(j, "text", pa.array(out, pa.string()))
+
+    red = redact_pii(ds.map_batches(_inject, batch_format="pyarrow"),
+                     "text", stats=True)
+
+    def _len(b: pa.Table) -> pa.Table:
+        return b.append_column("text_len", pc.cast(
+            pc.utf8_length(b.column("text")), pa.int64()))
+
+    return (red.map_batches(_len, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_email", alias_name="n_email"),
+                       Sum("n_ipv4", alias_name="n_ipv4"),
+                       Sum("n_phone", alias_name="n_phone"),
+                       Sum("text_len", alias_name="total_len"))
+            .sort("lang"))
+
+
+def _pii_oracle_sql() -> str:
+    """The PII oracle interpolates the live pattern constants so Ray
+    and SQL can never drift (patterns are RE2 ∩ Python-re)."""
+    from snorkel_ray.stages.pii import PII_PATTERNS
+
+    e, i, p = (PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    return """
+        WITH t AS (SELECT lang,
+               text || ' contact user' || doc_id || '@example.com at 10.'
+                    || (doc_id % 256) || '.0.1 or +1-555-'
+                    || (1000 + doc_id % 9000) AS txt
+               FROM documents),
+        s1 AS (SELECT lang, regexp_replace(txt, 'ERX', '<EMAIL>', 'g') AS t1,
+               len(regexp_extract_all(txt, 'ERX')) AS ne FROM t),
+        s2 AS (SELECT lang, regexp_replace(t1, 'IRX', '<IP>', 'g') AS t2, ne,
+               len(regexp_extract_all(t1, 'IRX')) AS ni FROM s1),
+        s3 AS (SELECT lang, regexp_replace(t2, 'PRX', '<PHONE>', 'g') AS t3,
+               ne, ni, len(regexp_extract_all(t2, 'PRX')) AS np FROM s2)
+        SELECT lang, CAST(sum(ne) AS BIGINT) AS n_email,
+               CAST(sum(ni) AS BIGINT) AS n_ipv4,
+               CAST(sum(np) AS BIGINT) AS n_phone,
+               CAST(sum(length(t3)) AS BIGINT) AS total_len
+        FROM s3 GROUP BY lang ORDER BY lang
+    """.replace("ERX", e).replace("IRX", i).replace("PRX", p)
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style quality battery (SQL-expressible subset: word-count
     bounds, mean-word-length bounds, >=80% alphabetic words, >=2
@@ -1220,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_line_removal": q_frequent_line_removal,
         "bigram_top20": q_bigram_top20,
         "tpch_q3": q_tpch_q3,
+        "pii_redaction": q_pii_redaction,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "stratified_sample_customers": q_stratified_sample_customers,
@@ -1365,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
                   WHERE ws[i] <> '' AND ws[i+1] <> '')
             SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
+        "pii_redaction": _pii_oracle_sql(),
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
