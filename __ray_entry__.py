@@ -590,6 +590,49 @@ def q_tpch_q5(sf_dir: str):
         .sort(["revenue", "n_name"], descending=[True, False])
 
 
+def q_url_domain_stats(sf_dir: str):
+    """URL canonicalization + per-domain crawl stats: synthetic crawl
+    URLs (mixed-case host, www, tracking params, fragments, trailing
+    slashes — all derived from doc_id) normalize through the six-step
+    RE2 chain in stages/urls.py and collapse 500 → 350 canonical
+    URLs across 7 domains; the oracle replays the identical regex
+    chain in DuckDB."""
+    from snorkel_ray.stages.urls import domain_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _inject(b: pa.Table) -> pa.Table:
+        urls = []
+        for i in b.column("doc_id").to_pylist():
+            u = f"https://WWW.Site{i % 7}.com/Page/{i % 50}"
+            if i % 5 == 0:
+                u += "/"
+            if i % 3 == 0:
+                u += "?utm_source=x&utm_campaign=y"
+            if i % 2 == 0:
+                u += "#frag"
+            urls.append(u)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    out = domain_stats(ds.map_batches(_inject, batch_format="pyarrow"))
+    return out.sort("domain")
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): three aggregation
+    levels (fine, per-flag, grand total) from ONE pass over lineitem —
+    coarser levels re-aggregate the fine table (stages/rollup.py)."""
+    from snorkel_ray.stages.rollup import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                           {"n_items": ("count", "l_returnflag"),
+                            "sum_qty": ("sum", "l_quantity")})
+    return _round_cols(out, {"sum_qty": 2}) \
+        .sort(["l_returnflag", "l_linestatus"])
+
+
 def q_pii_redaction(sf_dir: str):
     """PII scrub: deterministic synthetic PII (email/IPv4/phone derived
     from doc_id) is injected into each document, then redacted by
@@ -794,6 +837,36 @@ def q_sliding_window_mean_chunked(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     out = sliding_window_mean(ds, window=3, pre_split_chunk="1D")
     return _sliding_proj(out)
+
+
+def _cumsum_proj(out):
+    def _proj(b: pa.Table) -> pa.Table:
+        from snorkel_ray.functions.exprs import duck_round
+
+        vals = [duck_round(v, 6) for v in b.column("cum_value").to_pylist()]
+        return pa.table({"event_id": b.column("event_id"),
+                         "cum_value": pa.array(vals, pa.float64())})
+
+    return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
+
+
+def q_cumulative_sum(sf_dir: str):
+    """Per-user running total (SUM OVER PARTITION ORDER BY) — the
+    windowed cumulative-aggregate family."""
+    from snorkel_ray.stages.windows import cumulative_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return _cumsum_proj(cumulative_sum(ds))
+
+
+def q_cumulative_sum_chunked(sf_dir: str):
+    """Same running total through the hot-key-safe two-level plan
+    (within-chunk cumsum + per-key prefix-summed chunk totals joined
+    back as ONE additive carry) — identical SQL oracle."""
+    from snorkel_ray.stages.windows import cumulative_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return _cumsum_proj(cumulative_sum(ds, pre_split_chunk="1D"))
 
 
 def q_event_value_lag_chunked(sf_dir: str):
@@ -1285,6 +1358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top20": q_bigram_top20,
         "tpch_q3": q_tpch_q3,
         "pii_redaction": q_pii_redaction,
+        "lineitem_rollup": q_lineitem_rollup,
+        "url_domain_stats": q_url_domain_stats,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "stratified_sample_customers": q_stratified_sample_customers,
@@ -1305,6 +1380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quantiles": q_approx_price_quantiles,
         "sliding_window_mean": q_sliding_window_mean,
         "sliding_window_mean_chunked": q_sliding_window_mean_chunked,
+        "cumulative_sum": q_cumulative_sum,
+        "cumulative_sum_chunked": q_cumulative_sum_chunked,
         "approx_distinct_users": q_approx_distinct_users,
         "token_counts": q_token_counts,
         "mention_counts": q_mention_counts,
@@ -1431,6 +1508,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
         "pii_redaction": _pii_oracle_sql(),
+        "url_domain_stats": r"""
+            WITH t AS (SELECT doc_id,
+                   'https://WWW.Site' || (doc_id % 7) || '.com/Page/'
+                   || (doc_id % 50)
+                   || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=x&utm_campaign=y' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END
+                     AS url FROM documents),
+            s1 AS (SELECT regexp_replace(url, '#.*$', '') AS u FROM t),
+            s2 AS (SELECT regexp_replace(u,
+                   '[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+                   FROM s1),
+            s3 AS (SELECT regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM s2),
+            s4 AS (SELECT lower(regexp_extract(u,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+                   || regexp_replace(u,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u FROM s3),
+            s5 AS (SELECT regexp_replace(u,
+                   '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u FROM s4),
+            s6 AS (SELECT regexp_replace(u, '/$', '') AS u FROM s5),
+            d AS (SELECT lower(regexp_extract(u,
+                  '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS domain, u FROM s6)
+            SELECT domain,
+                   CAST(count(DISTINCT u) AS BIGINT) AS n_unique_urls,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM d GROUP BY domain ORDER BY domain""",
+        "lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1580,6 +1692,18 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                      AS rolling_mean
+            FROM events ORDER BY event_id""",
+        "cumulative_sum": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+            FROM events ORDER BY event_id""",
+        "cumulative_sum_chunked": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 6) AS cum_value
             FROM events ORDER BY event_id""",
         "token_counts": """
             SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)

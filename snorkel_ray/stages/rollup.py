@@ -1,0 +1,100 @@
+"""Multi-level (ROLLUP-style) aggregation from shared partials.
+
+Brief-mandated query-coverage family (reference analog: the grouped
+coverage/summary statistics of ``snorkel/annotations.py`` ≈L300, which
+recompute each level from scratch).  The scale point of this operator
+is that the FINE-grain aggregate is computed from the input exactly
+once; every coarser level re-aggregates the fine TABLE (cardinality =
+distinct key combinations, ≪ input rows), so adding levels costs no
+extra pass over the data — the SQL ``GROUP BY ROLLUP`` plan, expressed
+as Ray aggregates.
+
+Only decomposable aggregates are supported (count/sum/min/max — count
+re-aggregates as sum, the others as themselves); a mean is expressed
+as sum + count and divided by the caller.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+__all__ = ["rollup_aggregate"]
+
+_REAGG = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def _aggs(spec, from_fine: bool):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = []
+    for name, (op, col) in spec.items():
+        eff = _REAGG[op] if from_fine else op
+        src = name if from_fine else col
+        if eff == "count":
+            out.append(Count(alias_name=name))
+        elif eff == "sum":
+            out.append(Sum(src, alias_name=name))
+        elif eff == "min":
+            out.append(Min(src, alias_name=name))
+        elif eff == "max":
+            out.append(Max(src, alias_name=name))
+        else:
+            raise ValueError(f"unsupported aggregate op {op!r}")
+    return out
+
+
+def rollup_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+                     *, all_label: str = "ALL"):
+    """``GROUP BY ROLLUP(*keys)``: one row set per prefix of ``keys``
+    (fine → grand total), grouped-out key columns filled with
+    ``all_label`` (string keys assumed; an explicit label instead of
+    NULL keeps results sortable and oracle-hashable).
+
+    ``spec``: ``{out_col: (op, src_col)}`` with op ∈ count/sum/min/max.
+    One pass over ``ds`` (the fine groupby); levels re-aggregate the
+    fine table.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    for op, _ in spec.values():
+        if op not in _REAGG:
+            raise ValueError(f"unsupported aggregate op {op!r}")
+
+    fine = ds.groupby(keys).aggregate(*_aggs(spec, from_fine=False))
+    fine = fine.materialize()  # every level reads it
+
+    value_cols = list(spec)
+
+    def _with_all(missing):
+        def _f(b: pa.Table) -> pa.Table:
+            for k in missing:
+                i = b.schema.get_field_index(k)
+                filled = pa.array([all_label] * b.num_rows, pa.string())
+                if i >= 0:
+                    b = b.set_column(i, k, filled)
+                else:
+                    b = b.append_column(k, filled)
+            cols = keys + value_cols
+            return pa.table({c: b.column(c) for c in cols})
+
+        return _f
+
+    levels = [fine.map_batches(_with_all([]), batch_format="pyarrow")]
+    for cut in range(len(keys) - 1, -1, -1):
+        kept = keys[:cut]
+        if kept:
+            lvl = fine.groupby(kept).aggregate(*_aggs(spec, from_fine=True))
+        else:
+            # grand total: global aggregate returns a dict-like row
+            import ray.data as rd
+
+            row = fine.aggregate(*_aggs(spec, from_fine=True))
+            lvl = rd.from_arrow(pa.table(
+                {name: [row[name]] for name in value_cols}))
+        levels.append(lvl.map_batches(_with_all(keys[cut:]),
+                                      batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -278,3 +278,93 @@ def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
     boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
     fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
     return done.union(fixed)
+
+
+def cumulative_sum(events, *, key: str = "user_id", ts: str = "ts",
+                   value: str = "value", out: str = "cum_value",
+                   pre_split_chunk: str | None = None):
+    """Per-key running total in (ts, event_id) order — SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY ts)``.
+
+    Default: one group per key (in-memory sort + cumsum).
+    ``pre_split_chunk`` (e.g. "1D") switches to the hot-key-safe
+    two-level plan — simpler than lag/sliding because every row
+    settles with ONE additive carry:
+
+    1. Per ``(key, time-chunk)`` group: sort, WITHIN-chunk cumsum;
+       emit one summary row (the chunk's total) per chunk.
+    2. Per ``key`` over the summary table only (O(#chunks) rows ≪
+       events): exclusive prefix-sum of chunk totals = each chunk's
+       carry-in.
+    3. Carry joins back on the (key, chunk) composite via
+       ``joins.apply_mapping`` (broadcast under its limit, hash join
+       above) and adds to the within-chunk cumsum.
+
+    Exact for float64 up to addition reassociation ACROSS chunks (the
+    carry is added as one term instead of element-wise); within a
+    chunk the accumulation order matches the single-group path.
+    """
+
+    def _order_cols(g):
+        return [ts] + (["event_id"] if "event_id" in g.columns else [])
+
+    def _cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(_order_cols(g))
+        g[out] = g[value].cumsum()
+        return g
+
+    if pre_split_chunk is None:
+        return events.groupby(key).map_groups(_cum, batch_format="pandas")
+
+    import pyarrow.compute as pc
+
+    from .joins import apply_mapping
+
+    chunk = pd.Timedelta(pre_split_chunk)
+
+    def _add_chunk(b: pa.Table) -> pa.Table:
+        c = b.column(ts).to_pandas().dt.floor(chunk)
+        return b.append_column("_chunk", pa.Array.from_pandas(c))
+
+    def _level1(g: pd.DataFrame) -> pd.DataFrame:
+        g = _cum(g)
+        total = g.iloc[[-1]].copy()
+        total["_total"] = g[out].iloc[-1]
+        g["_total"] = np.nan
+        return pd.concat([g, total], ignore_index=True)
+
+    def _level2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_chunk")
+        return pd.DataFrame({
+            key: g[key],
+            "_chunk": g["_chunk"],
+            "_carry": g["_total"].cumsum().shift(1, fill_value=0.0),
+        })
+
+    def _ck(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(key), pa.string())
+        c = pc.cast(pc.cast(b.column("_chunk"), pa.int64()), pa.string())
+        return b.append_column("_ck", pc.binary_join_element_wise(k, c, "\x1f"))
+
+    staged = (events.map_batches(_add_chunk, batch_format="pyarrow")
+              .groupby([key, "_chunk"])
+              .map_groups(_level1, batch_format="pandas")
+              .materialize())  # rows + summaries both consumed
+    rows = staged.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_total")))
+        .drop_columns(["_total"]), batch_format="pyarrow")
+    totals = staged.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("_total"))),
+        batch_format="pyarrow")
+    carry = (totals.groupby(key).map_groups(_level2, batch_format="pandas")
+             .map_batches(_ck, batch_format="pyarrow"))
+    rows = rows.map_batches(_ck, batch_format="pyarrow")
+    rows = apply_mapping(rows, carry, "_ck", "_ck", "_carry", "_carry")
+
+    def _apply_carry(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(out)
+        fixed = pc.add(b.column(out), b.column("_carry"))
+        return (b.set_column(i, out, fixed)
+                .drop_columns(["_carry", "_ck", "_chunk"]))
+
+    return rows.map_batches(_apply_carry, batch_format="pyarrow")

@@ -1,0 +1,51 @@
+"""ROLLUP-style multi-level aggregation: level contents, one-pass
+re-aggregation semantics, op validation."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from snorkel_ray.stages.rollup import rollup_aggregate
+
+
+def _ds():
+    t = pa.table({
+        "a": ["x", "x", "x", "y", "y"],
+        "b": ["p", "p", "q", "p", "q"],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def test_rollup_levels_exact():
+    out = (rollup_aggregate(_ds(), ["a", "b"],
+                            {"n": ("count", "a"),
+                             "s": ("sum", "v"),
+                             "mx": ("max", "v")})
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    expect = pd.DataFrame([
+        {"a": "ALL", "b": "ALL", "n": 5, "s": 31.0, "mx": 16.0},
+        {"a": "x", "b": "ALL", "n": 3, "s": 7.0, "mx": 4.0},
+        {"a": "x", "b": "p", "n": 2, "s": 3.0, "mx": 2.0},
+        {"a": "x", "b": "q", "n": 1, "s": 4.0, "mx": 4.0},
+        {"a": "y", "b": "ALL", "n": 2, "s": 24.0, "mx": 16.0},
+        {"a": "y", "b": "p", "n": 1, "s": 8.0, "mx": 8.0},
+        {"a": "y", "b": "q", "n": 1, "s": 16.0, "mx": 16.0},
+    ])
+    pd.testing.assert_frame_equal(
+        out[["a", "b", "n", "s", "mx"]].astype({"n": "int64"}), expect)
+
+
+def test_rollup_single_key_and_min():
+    out = (rollup_aggregate(_ds(), ["a"], {"mn": ("min", "v")})
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    assert out.a.tolist() == ["ALL", "x", "y"]
+    assert out.mn.tolist() == [1.0, 1.0, 8.0]
+
+
+def test_rollup_validates():
+    with pytest.raises(ValueError):
+        rollup_aggregate(_ds(), [], {"n": ("count", "a")})
+    with pytest.raises(ValueError):
+        rollup_aggregate(_ds(), ["a"], {"m": ("mean", "v")})

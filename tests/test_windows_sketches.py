@@ -372,3 +372,41 @@ def test_lag_presplit_matches_plain(ray_session):
         eq = ((plain[col] == chunked[col])
               | (plain[col].isna() & chunked[col].isna()))
         assert eq.all(), (kw, int((~eq).sum()))
+
+
+def test_cumulative_sum_plain_and_chunked_parity(ray_session):
+    """cumsum default plan matches pandas groupby-cumsum; the chunked
+    plan matches it to float tolerance (one additive carry term) —
+    including sparse chunks and a key whose history spans many
+    chunks."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.windows import cumulative_sum
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for uid in range(4):
+        t = base
+        for _ in range(150):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 4000)))
+            rows.append({"user_id": uid, "ts": t,
+                         "value": float(rng.uniform(0, 10)), "event_id": eid})
+            eid += 1
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(4)
+
+    expect = df.sort_values(["ts", "event_id"]).copy()
+    expect["cum_value"] = expect.groupby("user_id")["value"].cumsum()
+    expect = expect.sort_values("event_id").reset_index(drop=True)
+
+    plain = (cumulative_sum(ds).to_pandas()
+             .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_series_equal(plain["cum_value"], expect["cum_value"])
+
+    chunked = (cumulative_sum(ds, pre_split_chunk="1D").to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+    assert len(chunked) == len(expect)
+    np.testing.assert_allclose(chunked["cum_value"], expect["cum_value"],
+                               rtol=1e-12)
