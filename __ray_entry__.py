@@ -512,12 +512,12 @@ def q_tpch_q3(sf_dir: str):
 def q_tpch_q5(sf_dir: str):
     """TPC-H Q5 shape (region x nation x customer x orders x lineitem
     x supplier): per-nation revenue in ASIA, 1996, local suppliers
-    only (c_nationkey = s_nationkey).  Plan: the three dim tables
-    broadcast as driver dicts (region->nation set, suppkey->nationkey,
-    custkey->nationkey is NOT broadcast — customer scales with users,
-    so it rides a count-gated apply_mapping); one hash join
-    lineitem x orders on the shared orderkey; revenue pre-aggregated
-    per (orderkey, s_nationkey) before the join."""
+    only (c_nationkey = s_nationkey).  Plan: only the FIXED-size dims
+    (region, nation — 5/25 rows at any SF) are driver-side; supplier
+    and customer SCALE with the data, so both ride the count-gated
+    ``apply_mapping`` (broadcast at test SF, hash join at scale); one
+    hash join lineitem x orders on the shared orderkey; revenue
+    pre-aggregated per (orderkey, s_nationkey) before the join."""
     from ray.data.aggregate import Sum
 
     import pyarrow.parquet as pq
@@ -533,10 +533,6 @@ def q_tpch_q5(sf_dir: str):
     asia_nations = set(nkeys.column("n_nationkey").to_pylist())
     nname = dict(zip(nation.column("n_nationkey").to_pylist(),
                      nation.column("n_name").to_pylist()))
-    smap = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
-    smap = dict(zip(smap.column("s_suppkey").to_pylist(),
-                    smap.column("s_nationkey").to_pylist()))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(lambda b: b.filter(pc.is_in(
@@ -559,20 +555,23 @@ def q_tpch_q5(sf_dir: str):
     def _li_partial(b: pa.Table) -> pa.Table:
         import pandas as pd
 
-        sn = np.array([smap.get(k, -1)
-                       for k in b.column("l_suppkey").to_pylist()])
-        keep = np.isin(sn, list(asia_nations))
+        b = b.filter(pc.is_in(b.column("s_nationkey"),
+                              value_set=pa.array(sorted(asia_nations),
+                                                 pa.int64())))
         rev = (np.asarray(b.column("l_extendedprice"))
                * (1.0 - np.asarray(b.column("l_discount"))))
-        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey"))[keep],
-                           "s_nationkey": sn[keep],
-                           "revenue": rev[keep]})
+        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
+                           "s_nationkey": np.asarray(b.column("s_nationkey")),
+                           "revenue": rev})
         out = df.groupby(["l_orderkey", "s_nationkey"], as_index=False).sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(_li_partial, batch_format="pyarrow")
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = apply_mapping(li, _read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_nationkey"]),
+                       "l_suppkey", "s_suppkey", "s_nationkey", "s_nationkey")
+    li = li.map_batches(_li_partial, batch_format="pyarrow")
     joined = li.join(orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     joined = joined.map_batches(lambda b: b.filter(
@@ -588,6 +587,37 @@ def q_tpch_q5(sf_dir: str):
            .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
     return _round_cols(agg, {"revenue": 2}) \
         .sort(["revenue", "n_name"], descending=[True, False])
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Long → wide pivot: per-user counts of each event type as
+    columns (SQL count FILTER).  One fine groupby over the input; the
+    widen + re-sum run on the fine table only."""
+    from snorkel_ray.stages.reshape import pivot_table
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_table(ds, "user_id", "event_type",
+                      ["click", "view", "purchase", "signup", "error"])
+    return out.sort("user_id")
+
+
+def q_event_value_zscore(sf_dir: str):
+    """Per-user z-score standardization (two-pass: grouped moments →
+    count-gated broadcast-back → vectorized transform)."""
+    from snorkel_ray.stages.reshape import grouped_zscore
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = grouped_zscore(ds, "user_id", "value")
+
+    def _proj(b: pa.Table) -> pa.Table:
+        from snorkel_ray.functions.exprs import duck_round
+
+        vals = [None if v is None else duck_round(v, 6)
+                for v in b.column("zscore").to_pylist()]
+        return pa.table({"event_id": b.column("event_id"),
+                         "zscore": pa.array(vals, pa.float64())})
+
+    return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
 
 
 def q_url_domain_stats(sf_dir: str):
@@ -1360,6 +1390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": q_pii_redaction,
         "lineitem_rollup": q_lineitem_rollup,
         "url_domain_stats": q_url_domain_stats,
+        "event_type_pivot": q_event_type_pivot,
+        "event_value_zscore": q_event_value_zscore,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "stratified_sample_customers": q_stratified_sample_customers,
@@ -1508,6 +1540,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
         "pii_redaction": _pii_oracle_sql(),
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "event_value_zscore": """
+            SELECT event_id,
+                   round((value - avg(value) OVER (PARTITION BY user_id))
+                         / stddev_samp(value) OVER (PARTITION BY user_id), 6)
+                     AS zscore
+            FROM events ORDER BY event_id""",
         "url_domain_stats": r"""
             WITH t AS (SELECT doc_id,
                    'https://WWW.Site' || (doc_id % 7) || '.com/Page/'

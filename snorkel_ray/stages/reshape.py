@@ -1,0 +1,96 @@
+"""Reshaping / normalization transforms: pivot (long → wide) and
+per-group standardization.
+
+Brief-mandated query-coverage family (reference analog: the dense
+label-matrix assembly of ``snorkel/annotations.py`` ≈L60 — a
+long-(candidate, lf, value) to wide-matrix pivot done there in
+scipy.sparse on one machine).
+
+* :func:`pivot_table` — SQL ``count/sum FILTER (WHERE col = cat)``
+  as two bounded shuffles: ONE fine ``groupby(index, pivot)`` over the
+  input (this is the only pass over the data), then a wide-partial +
+  ``groupby(index).sum`` over the FINE table (rows = distinct (index,
+  pivot) pairs ≪ input).  Categories must be an explicit bounded list
+  — at 100 TB an unbounded pivot column is a schema explosion, so
+  discovery is the caller's (cheap, fine-table) problem.
+* :func:`grouped_zscore` — two-pass standardization: per-key
+  mean/std (one aggregate shuffle) broadcast back via the count-gated
+  ``apply_mapping`` (broadcast under its limit, hash join above) and
+  applied vectorized.  The moment table is one row per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["pivot_table", "grouped_zscore"]
+
+
+def pivot_table(ds, index: str, pivot: str, categories: list[str], *,
+                value: str | None = None, agg: str = "count",
+                prefix: str = "n_"):
+    """Wide table: one row per ``index``, one ``prefix<category>``
+    column per category holding count (``agg='count'``) or
+    ``sum(value)`` (``agg='sum'``) of the rows with that pivot value.
+    Unlisted pivot values are dropped; absent combinations are 0."""
+    from ray.data.aggregate import Count, Sum
+
+    if agg not in ("count", "sum"):
+        raise ValueError(f"agg must be 'count' or 'sum', got {agg!r}")
+    if agg == "sum" and value is None:
+        raise ValueError("agg='sum' requires a value column")
+
+    fine_agg = (Count(alias_name="_v") if agg == "count"
+                else Sum(value, alias_name="_v"))
+    fine = ds.groupby([index, pivot]).aggregate(fine_agg)
+
+    cats = list(categories)
+    zero = 0 if agg == "count" else 0.0
+    vtype = pa.int64() if agg == "count" else pa.float64()
+
+    def _widen(b: pa.Table) -> pa.Table:
+        piv = np.asarray(b.column(pivot), dtype=object)
+        vals = np.asarray(b.column("_v"))
+        cols = {index: b.column(index)}
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for c in cats:
+            m = piv == c
+            keep |= m
+            cols[prefix + c] = pa.array(np.where(m, vals, zero), vtype)
+        return pa.table(cols).filter(pa.array(keep))
+
+    wide = fine.map_batches(_widen, batch_format="pyarrow")
+    return wide.groupby(index).aggregate(
+        *[Sum(prefix + c, alias_name=prefix + c) for c in cats])
+
+
+def grouped_zscore(ds, key: str, value: str, *, out: str = "zscore",
+                   ddof: int = 1):
+    """Append ``out`` = (value − mean_key) / std_key (sample std by
+    default, matching SQL ``stddev_samp``).  Keys with undefined or
+    zero std get null."""
+    from ray.data.aggregate import Mean, Std
+
+    from .joins import apply_mapping
+
+    stats = ds.groupby(key).aggregate(
+        Mean(value, alias_name="_mu"),
+        Std(value, ddof=ddof, alias_name="_sd"))
+    stats = stats.materialize()
+
+    with_mu = apply_mapping(ds, stats, key, key, "_mu", "_mu")
+    with_both = apply_mapping(with_mu, stats, key, key, "_sd", "_sd")
+
+    def _z(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column(value), dtype=np.float64)
+        mu = np.asarray(b.column("_mu"), dtype=np.float64)
+        sd = np.asarray(b.column("_sd"), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - mu) / sd
+        z = np.where(np.isfinite(z), z, np.nan)
+        return (b.drop_columns(["_mu", "_sd"])
+                .append_column(out, pa.array(z, pa.float64(),
+                                             mask=~np.isfinite(z))))
+
+    return with_both.map_batches(_z, batch_format="pyarrow")

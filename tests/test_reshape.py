@@ -1,0 +1,53 @@
+"""Pivot (long→wide) and grouped z-score."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from snorkel_ray.stages.reshape import grouped_zscore, pivot_table
+
+
+def _events():
+    t = pa.table({
+        "uid": [1, 1, 1, 2, 2, 3],
+        "kind": ["a", "a", "b", "b", "c", "a"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def test_pivot_counts():
+    out = (pivot_table(_events(), "uid", "kind", ["a", "b"])
+           .to_pandas().sort_values("uid").reset_index(drop=True))
+    assert out.uid.tolist() == [1, 2, 3]
+    assert out.n_a.tolist() == [2, 0, 1]
+    assert out.n_b.tolist() == [1, 1, 0]
+    # unlisted category "c" dropped, but uid 2 still present via "b"
+    assert "n_c" not in out.columns
+
+
+def test_pivot_sum():
+    out = (pivot_table(_events(), "uid", "kind", ["a", "c"],
+                       value="v", agg="sum")
+           .to_pandas().sort_values("uid").reset_index(drop=True))
+    assert out.n_a.tolist() == [3.0, 0.0, 6.0]
+    assert out.n_c.tolist() == [0.0, 5.0, 0.0]
+    with pytest.raises(ValueError):
+        pivot_table(_events(), "uid", "kind", ["a"], agg="sum")
+    with pytest.raises(ValueError):
+        pivot_table(_events(), "uid", "kind", ["a"], agg="median")
+
+
+def test_grouped_zscore_matches_pandas():
+    out = (grouped_zscore(_events(), "uid", "v").to_pandas()
+           .sort_values(["uid", "v"]).reset_index(drop=True))
+    df = _events().to_pandas().sort_values(["uid", "v"]).reset_index(drop=True)
+    expect = df.groupby("uid")["v"].transform(
+        lambda s: (s - s.mean()) / s.std(ddof=1))
+    got = out["zscore"]
+    # singleton group (uid 3) has undefined std -> null
+    assert got.iloc[-1] != got.iloc[-1] or pd.isna(got.iloc[-1])
+    np.testing.assert_allclose(got[:-1].astype(float),
+                               expect[:-1].astype(float), rtol=1e-12)
