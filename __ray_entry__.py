@@ -589,6 +589,18 @@ def q_tpch_q5(sf_dir: str):
         .sort(["revenue", "n_name"], descending=[True, False])
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, extendedprice) — the
+    two-pass centered-co-moment plan (stable against the large price
+    magnitudes where the one-pass sum formula cancels)."""
+    from snorkel_ray.stages.reshape import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    return _round_cols(out, {"corr": 6}).sort("l_returnflag")
+
+
 def q_event_type_pivot(sf_dir: str):
     """Long → wide pivot: per-user counts of each event type as
     columns (SQL count FILTER).  One fine groupby over the input; the
@@ -1391,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q_lineitem_rollup,
         "url_domain_stats": q_url_domain_stats,
         "event_type_pivot": q_event_type_pivot,
+        "lineitem_corr": q_lineitem_corr,
         "event_value_zscore": q_event_value_zscore,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
@@ -1540,6 +1553,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
         "pii_redaction": _pii_oracle_sql(),
+        "lineitem_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
         "event_type_pivot": """
             SELECT user_id,
                    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

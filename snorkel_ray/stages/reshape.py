@@ -94,3 +94,53 @@ def grouped_zscore(ds, key: str, value: str, *, out: str = "zscore",
                                              mask=~np.isfinite(z))))
 
     return with_both.map_batches(_z, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key: str, x: str, y: str, *, out: str = "corr"):
+    """Per-key Pearson correlation, two-pass for numerical stability
+    (the one-pass sum-of-products formula cancels catastrophically on
+    large-magnitude columns): pass 1 aggregates per-key means (one
+    shuffle) and broadcasts them back via the count-gated
+    ``apply_mapping``; pass 2 sums CENTERED co-moments per key (one
+    more bounded shuffle over 3 doubles/key/block after the per-batch
+    combiner).  Matches SQL ``corr(x, y)``.  Keys with zero variance
+    or < 2 rows get null."""
+    from ray.data.aggregate import Mean, Sum
+
+    from .joins import apply_mapping
+
+    means = ds.groupby(key).aggregate(
+        Mean(x, alias_name="_mx"), Mean(y, alias_name="_my")).materialize()
+    with_m = apply_mapping(ds, means, key, key, "_mx", "_mx")
+    with_m = apply_mapping(with_m, means, key, key, "_my", "_my")
+
+    def _moments(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        xa = np.asarray(b.column(x), dtype=np.float64)
+        ya = np.asarray(b.column(y), dtype=np.float64)
+        mx = np.asarray(b.column("_mx"), dtype=np.float64)
+        my = np.asarray(b.column("_my"), dtype=np.float64)
+        dx, dy = xa - mx, ya - my
+        df = pd.DataFrame({key: b.column(key).to_pandas(),
+                           "_cxy": dx * dy, "_cxx": dx * dx,
+                           "_cyy": dy * dy})
+        g = df.groupby(key, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (with_m.map_batches(_moments, batch_format="pyarrow")
+           .groupby(key).aggregate(Sum("_cxy", alias_name="_cxy"),
+                                   Sum("_cxx", alias_name="_cxx"),
+                                   Sum("_cyy", alias_name="_cyy")))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        cxy = np.asarray(b.column("_cxy"))
+        cxx = np.asarray(b.column("_cxx"))
+        cyy = np.asarray(b.column("_cyy"))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = cxy / np.sqrt(cxx * cyy)
+        return (b.drop_columns(["_cxy", "_cxx", "_cyy"])
+                .append_column(out, pa.array(r, pa.float64(),
+                                             mask=~np.isfinite(r))))
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -51,3 +51,28 @@ def test_grouped_zscore_matches_pandas():
     assert got.iloc[-1] != got.iloc[-1] or pd.isna(got.iloc[-1])
     np.testing.assert_allclose(got[:-1].astype(float),
                                expect[:-1].astype(float), rtol=1e-12)
+
+
+def test_grouped_corr_matches_pandas():
+    import ray as _ray
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    k = rng.integers(0, 5, n)
+    x = rng.normal(1000.0, 200.0, n)
+    y = 3.0 * x + rng.normal(0, 150.0, n)
+    t = pa.table({"k": k, "x": x, "y": y})
+    ds = _ray.data.from_arrow(t).repartition(6)
+    from snorkel_ray.stages.reshape import grouped_corr
+
+    out = (grouped_corr(ds, "k", "x", "y").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    df = pd.DataFrame({"k": k, "x": x, "y": y})
+    expect = df.groupby("k").apply(
+        lambda g: g.x.corr(g.y), include_groups=False)
+    np.testing.assert_allclose(out["corr"], expect.values, rtol=1e-12)
+    # degenerate: constant column -> null
+    tiny = _ray.data.from_arrow(pa.table(
+        {"k": ["a", "a"], "x": [1.0, 1.0], "y": [1.0, 2.0]}))
+    z = grouped_corr(tiny, "k", "x", "y").to_pandas()
+    assert pd.isna(z["corr"]).all()
