@@ -589,6 +589,63 @@ def q_tpch_q5(sf_dir: str):
         .sort(["revenue", "n_name"], descending=[True, False])
 
 
+def q_supplier_name_agg(sf_dir: str):
+    """Ordered string_agg: comma-joined supplier names per nation
+    (SQL string_agg ... ORDER BY)."""
+    from snorkel_ray.stages.reshape import grouped_string_agg
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+    out = grouped_string_agg(ds, "s_nationkey", "s_name",
+                             sep=",", out="names")
+    return out.sort("s_nationkey")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round trip: documents stream to shard-per-
+    block JSONL files (atomic temp+rename), read back through the
+    distributed JSONL decode, and per-lang counts + text lengths must
+    match the parquet original (byte-exact text through the JSON
+    escape cycle)."""
+    import hashlib
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.sources.readers import read_jsonl_docs, write_jsonl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(b.column("doc_id"), pa.string()),
+            "text": b.column("text"),
+            "lang": b.column("lang"),
+        })
+
+    tag = hashlib.blake2s(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/graft_jsonl_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_jsonl(ds.map_batches(_prep, batch_format="pyarrow"), out_dir)
+
+    docs = read_jsonl_docs(out_dir)
+
+    def _lang_len(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        langs = [_json.loads(m)["lang"]
+                 for m in b.column("meta_json").to_pylist()]
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "text_len": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+        })
+
+    return (docs.map_batches(_lang_len, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("text_len", alias_name="total_len"))
+            .sort("lang"))
+
+
 def q_lineitem_corr(sf_dir: str):
     """Per-returnflag Pearson corr(quantity, extendedprice) — the
     two-pass centered-co-moment plan (stable against the large price
@@ -1404,6 +1461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domain_stats": q_url_domain_stats,
         "event_type_pivot": q_event_type_pivot,
         "lineitem_corr": q_lineitem_corr,
+        "supplier_name_agg": q_supplier_name_agg,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "event_value_zscore": q_event_value_zscore,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
@@ -1553,6 +1612,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
         "pii_redaction": _pii_oracle_sql(),
+        "supplier_name_agg": """
+            SELECT s_nationkey,
+                   string_agg(s_name, ',' ORDER BY s_name) AS names
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+        "jsonl_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_len
+            FROM documents GROUP BY lang ORDER BY lang""",
         "lineitem_corr": """
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 6) AS corr

@@ -144,3 +144,24 @@ def grouped_corr(ds, key: str, x: str, y: str, *, out: str = "corr"):
                                              mask=~np.isfinite(r))))
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, key: str, value: str, *, sep: str = ",",
+                       order_by: list[str] | None = None,
+                       out: str = "agg"):
+    """SQL ``string_agg(value, sep ORDER BY ...)`` per key.
+
+    One group per key by construction — the OUTPUT row is the whole
+    group's concatenation, so a group must fit a reducer no matter the
+    plan; do not point this at a celebrity key (pre-bucket or cap
+    upstream with ``skew.grouped_topk`` if unbounded)."""
+    import pandas as pd
+
+    order = order_by or [value]
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out: [sep.join(g[value].astype(str))]})
+
+    return ds.groupby(key).map_groups(_agg, batch_format="pandas")

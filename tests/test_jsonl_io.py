@@ -1,0 +1,48 @@
+"""JSONL source/sink: round trip, malformed-line tolerance, meta
+passthrough, max_docs."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray
+
+from snorkel_ray.sources.readers import read_jsonl_docs, write_jsonl
+
+
+def test_roundtrip(tmp_path):
+    t = pa.table({"url": ["a", "b"],
+                  "text": ["hello\nworld", 'quote " and \\ slash'],
+                  "extra": [1, 2]})
+    out_dir = str(tmp_path / "out")
+    manifest = write_jsonl(ray.data.from_arrow(t), out_dir).to_pandas()
+    assert manifest.n_rows.sum() == 2
+    assert all(p.endswith(".jsonl") for p in manifest.path)
+
+    back = read_jsonl_docs(out_dir).to_pandas().sort_values("url")
+    assert back.url.tolist() == ["a", "b"]
+    # text survives the JSON escape cycle byte-exact
+    assert back.text.tolist() == ["hello\nworld", 'quote " and \\ slash']
+    assert [json.loads(m)["extra"] for m in back.meta_json] == [1, 2]
+
+
+def test_malformed_lines_skipped_and_max_docs(tmp_path):
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"url": "u1", "text": "t1"}\n'
+                 'not json at all\n'
+                 '\n'
+                 '{"url": "u2", "text": "t2"}\n'
+                 '{"url": "u3", "text": "t3"}\n')
+    out = read_jsonl_docs(str(p)).to_pandas()
+    assert sorted(out.url) == ["u1", "u2", "u3"]
+    capped = read_jsonl_docs(str(p), max_docs=2).to_pandas()
+    assert len(capped) <= 2
+
+
+def test_write_jsonl_columns_subset(tmp_path):
+    t = pa.table({"a": [1], "b": ["x"], "c": [2.5]})
+    out_dir = str(tmp_path / "sub")
+    write_jsonl(ray.data.from_arrow(t), out_dir, columns=["a", "b"])
+    line = json.loads(open(os.path.join(
+        out_dir, os.listdir(out_dir)[0])).read())
+    assert line == {"a": 1, "b": "x"}

@@ -76,3 +76,17 @@ def test_grouped_corr_matches_pandas():
         {"k": ["a", "a"], "x": [1.0, 1.0], "y": [1.0, 2.0]}))
     z = grouped_corr(tiny, "k", "x", "y").to_pandas()
     assert pd.isna(z["corr"]).all()
+
+
+def test_grouped_string_agg_ordered():
+    import ray as _ray
+
+    from snorkel_ray.stages.reshape import grouped_string_agg
+
+    t = pa.table({"k": ["a", "b", "a", "a", "b"],
+                  "v": ["z", "m", "x", "y", "n"]})
+    ds = _ray.data.from_arrow(t).repartition(3)
+    out = (grouped_string_agg(ds, "k", "v", sep="|").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out.k.tolist() == ["a", "b"]
+    assert out["agg"].tolist() == ["x|y|z", "m|n"]
