@@ -689,6 +689,66 @@ def q_event_value_zscore(sf_dir: str):
     return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
 
 
+def q_events_range_join(sf_dir: str):
+    """Interval/range join (SQL ``ts BETWEEN start AND end``): per
+    event type, count + value-sum of the events inside the 3-day
+    window opening at that type's first event.  Runs the
+    chunk-replicated distributed plan (``broadcast_limit=0`` forces it
+    even though the interval table is tiny) so the oracle checks the
+    scale path: left rows hash once into 72 h chunks, each interval
+    replicates to the ~2 chunks it overlaps, one equi join on
+    ``(key, chunk)``."""
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.joins import range_join
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    # interval table: one row per event type (tiny — driver-built from
+    # a grouped min, the same shape a campaign/window config table has)
+    import pandas as pd
+
+    w = (ds.groupby("event_type")
+         .min("ts").to_pandas()
+         .rename(columns={"min(ts)": "w_start"}))
+    w["w_end"] = w["w_start"] + pd.Timedelta(days=3)
+
+    out = (range_join(ds, w, "event_type", "ts", "w_start", "w_end",
+                      chunk="72h", broadcast_limit=0)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="total_value")))
+    return _round_cols(out, {"total_value": 4}).sort("event_type")
+
+
+def q_event_user_distinct(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event type — the three-step
+    skew-safe plan (per-batch pair dedup → pair-keyed shuffle → key
+    count)."""
+    from snorkel_ray.stages.reshape import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return (grouped_count_distinct(ds, "event_type", "user_id",
+                                   out="n_users")
+            .sort("event_type"))
+
+
+def q_order_priority_argmax(sf_dir: str):
+    """Best row per key (row_number() = 1): the highest-price order in
+    each priority class, ties broken by lowest orderkey — per-batch
+    partial winners, so no reducer ever sees a full group."""
+    from snorkel_ray.stages.reshape import grouped_argmax
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = grouped_argmax(ds, "o_orderpriority",
+                         ["o_totalprice", "o_orderkey"],
+                         descending=[True, False])
+    return (out.select_columns(["o_orderpriority", "o_orderkey",
+                                "o_totalprice"])
+            .sort("o_orderpriority"))
+
+
 def q_url_domain_stats(sf_dir: str):
     """URL canonicalization + per-domain crawl stats: synthetic crawl
     URLs (mixed-case host, www, tracking params, fragments, trailing
@@ -1464,6 +1524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_agg": q_supplier_name_agg,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "event_value_zscore": q_event_value_zscore,
+        "events_range_join": q_events_range_join,
+        "event_user_distinct": q_event_user_distinct,
+        "order_priority_argmax": q_order_priority_argmax,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "stratified_sample_customers": q_stratified_sample_customers,
@@ -1624,6 +1687,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 6) AS corr
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "events_range_join": """
+            WITH w AS (SELECT event_type, min(ts) AS w_start,
+                              min(ts) + INTERVAL 3 DAY AS w_end
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(e.value), 4) AS total_value
+            FROM events e JOIN w ON e.event_type = w.event_type
+                 AND e.ts BETWEEN w.w_start AND w.w_end
+            GROUP BY e.event_type ORDER BY e.event_type""",
+        "event_user_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "order_priority_argmax": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                             PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_orderpriority""",
         "event_type_pivot": """
             SELECT user_id,
                    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

@@ -286,6 +286,123 @@ def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
             .map_batches(restore_types, batch_format="pyarrow"))
 
 
+def range_join(left, intervals, key: str, ts: str, start: str, end: str, *,
+               value_cols: list[str] | None = None,
+               chunk: str | float | None = None,
+               broadcast_limit: int = DEFAULT_BROADCAST_LIMIT):
+    """Interval/range join: one output row per (left row, interval)
+    pair with the same ``key`` and ``start ≤ ts ≤ end`` (inclusive,
+    SQL ``JOIN ... ON ts BETWEEN start AND end`` semantics; left rows
+    with no match are dropped).  The Dataset API has no non-equi join —
+    this is the standard rewrite to an equi join.
+
+    Two physical plans:
+
+    - **broadcast** (interval table ≤ ``broadcast_limit`` rows): the
+      intervals ship once via ``ray.put``; each left batch does one
+      vectorized pandas merge on ``key`` + a between-filter.  Zero
+      shuffle.
+    - **chunk-replicated** (big interval tables; requires ``chunk``,
+      e.g. ``"1h"`` for timestamps or a number for numeric axes): left
+      rows get ``_chunk = ts // chunk``; each interval is replicated to
+      every chunk it overlaps; one inner ``Dataset.join`` on
+      ``(key, _chunk)`` + the between-filter.  Exact and dup-free —
+      each left row lives in exactly one chunk.  Replication factor is
+      ``interval_length / chunk + 1``: pick ``chunk`` near the typical
+      interval length, and keep intervals bounded (an unbounded
+      interval would replicate everywhere — cap upstream).
+    """
+    import ray
+    import ray.data as rd
+
+    if isinstance(intervals, pa.Table):
+        intervals = rd.from_arrow(intervals)
+    elif isinstance(intervals, pd.DataFrame):
+        intervals = rd.from_pandas(intervals)
+    intervals = intervals.materialize()
+
+    ischema = intervals.schema()
+    if value_cols is None:
+        value_cols = [c for c in ischema.names if c not in (key, start, end)]
+    n = intervals.count()
+
+    if n == 0:
+        return left.map_batches(lambda b: b.slice(0, 0),
+                                batch_format="pyarrow")
+
+    if n <= broadcast_limit:
+        idf = (intervals
+               .select_columns([key, start, end] + value_cols)
+               .to_pandas())
+        iv_ref = ray.put(idf)
+
+        def _probe(b: pa.Table) -> pa.Table:
+            iv = ray.get(iv_ref)
+            df = b.to_pandas()
+            m = df.merge(iv, on=key, how="inner",
+                         suffixes=("", "_iv"))
+            m = m[(m[ts] >= m[start]) & (m[ts] <= m[end])]
+            return pa.Table.from_pandas(m, preserve_index=False)
+
+        return left.map_batches(_probe, batch_format="pyarrow")
+
+    if chunk is None:
+        raise ValueError(
+            f"interval table has {n} rows (> broadcast_limit "
+            f"{broadcast_limit}); the chunk-replicated plan needs "
+            "an explicit chunk width")
+
+    def _axis_int(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        # timestamps → int64 µs (unit-normalized so a ns-unit parquet
+        # and a µs chunk width can't silently mis-chunk); numerics
+        # pass through
+        if pa.types.is_timestamp(col.type):
+            import pyarrow.compute as pc
+
+            return pc.cast(pc.cast(col, pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        return col.to_numpy(zero_copy_only=False)
+
+    chunk_w = (int(pd.Timedelta(chunk).value // 1000)  # ns → µs
+               if isinstance(chunk, str) else chunk)
+
+    def _left_chunk(b: pa.Table) -> pa.Table:
+        c = _axis_int(b.column(ts)) // chunk_w
+        return b.append_column("_chunk", pa.array(c.astype(np.int64)))
+
+    def _expand(b: pa.Table) -> pa.Table:
+        c0 = _axis_int(b.column(start)) // chunk_w
+        c1 = _axis_int(b.column(end)) // chunk_w
+        reps = np.maximum(c1 - c0 + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(reps)), reps)
+        # chunk id within each interval's replicated run
+        offs = np.arange(len(idx)) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        t = b.select([key, start, end] + value_cols).take(pa.array(idx))
+        return t.append_column(
+            "_chunk", pa.array(c0[idx] + offs, pa.int64()))
+
+    lt = left.map_batches(_left_chunk, batch_format="pyarrow")
+    iv = intervals.map_batches(_expand, batch_format="pyarrow")
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    joined = lt.join(iv, join_type="inner",
+                     num_partitions=max(2, min(32, cpus)),
+                     on=(key, "_chunk"), right_on=(key, "_chunk"))
+
+    def _between(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(pc.greater_equal(b.column(ts), b.column(start)),
+                       pc.less_equal(b.column(ts), b.column(end)))
+        return b.filter(mask).drop_columns(["_chunk"])
+
+    return joined.map_batches(_between, batch_format="pyarrow")
+
+
 def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
                   out_col: str, *, default_col: str | None = None,
                   broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,

@@ -24,7 +24,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["pivot_table", "grouped_zscore"]
+__all__ = ["pivot_table", "grouped_zscore", "grouped_corr",
+           "grouped_string_agg", "grouped_count_distinct",
+           "grouped_argmax"]
 
 
 def pivot_table(ds, index: str, pivot: str, categories: list[str], *,
@@ -165,3 +167,45 @@ def grouped_string_agg(ds, key: str, value: str, *, sep: str = ",",
                              out: [sep.join(g[value].astype(str))]})
 
     return ds.groupby(key).map_groups(_agg, batch_format="pandas")
+
+
+def grouped_count_distinct(ds, key: str, value: str, *,
+                           out: str = "n_distinct"):
+    """Exact SQL ``count(DISTINCT value)`` per key, skew-safe in three
+    vectorized steps:
+
+    1. per-batch ``drop_duplicates`` on (key, value) — a free combiner
+       that shrinks the shuffle to each block's distinct pairs;
+    2. ``groupby(key, value).count()`` — the dedup shuffle, keyed on
+       the PAIR so a celebrity key's values spread across reducers;
+    3. ``groupby(key).count()`` over the pair table (rows = distinct
+       pairs, already ≪ input).
+
+    No per-group Python, no driver set — both shuffles carry only
+    distinct pairs."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def _local(b: pa.Table) -> pa.Table:
+        df = b.select([key, value]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (ds.map_batches(_local, batch_format="pyarrow")
+             .groupby([key, value]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c", value]))
+    return pairs.groupby(key).aggregate(Count(alias_name=out))
+
+
+def grouped_argmax(ds, key: str, order_cols: list[str], *,
+                   descending: list[bool] | None = None):
+    """The single best row per key (SQL ``row_number() OVER (PARTITION
+    BY key ORDER BY ...) = 1``): thin wrapper over the skew-safe
+    ``grouped_topk(k=1)`` — per-batch partial winners first, so a hot
+    key ships one row per block, never its full group.
+
+    ``order_cols`` must totally order rows within a key (append a
+    unique id) or the winner is nondeterministic."""
+    from snorkel_ray.stages.skew import grouped_topk
+
+    return grouped_topk(ds, key, order_cols,
+                        descending=descending, k=1)

@@ -297,3 +297,43 @@ def test_asof_join_chunked_matches_plain(ray_session):
           | (plain["px"].isna() & chunked["px"].isna()))
     assert eq.all()
     assert plain["px"].isna().sum() > 0  # the no-prior-right case occurs
+
+
+def test_range_join_both_plans(ray_session):
+    """range_join: broadcast plan and chunk-replicated plan must both
+    equal the pandas between-merge reference, including an interval
+    spanning many chunks, a point interval, and an unmatched key."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "t": rng.integers(0, 1000, 300).astype("int64"),
+        "v": np.arange(300)})
+    iv = pd.DataFrame({
+        "k": [0, 0, 1, 2, 3, 9],
+        "s": pd.array([10, 500, 0, 100, 950, 0], dtype="int64"),
+        "e": pd.array([50, 600, 1000, 100, 2000, 10], dtype="int64"),
+        "tag": list("abcdef")})
+    ref = left.merge(iv, on="k")
+    ref = ref[(ref.t >= ref.s) & (ref.t <= ref.e)]
+
+    def key(df):
+        return sorted(zip(df.v.tolist(), df.tag.tolist()))
+
+    lds = rd.from_pandas(left).repartition(4)
+    bcast = range_join(lds, iv, "k", "t", "s", "e").to_pandas()
+    assert key(bcast) == key(ref)
+
+    chunked = range_join(lds, iv, "k", "t", "s", "e",
+                         chunk=64, broadcast_limit=0).to_pandas()
+    assert key(chunked) == key(ref)
+
+    # empty interval table -> empty result
+    empty = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                          "s": pd.array([], dtype="int64"),
+                          "e": pd.array([], dtype="int64")})
+    assert range_join(lds, empty, "k", "t", "s", "e").count() == 0

@@ -90,3 +90,33 @@ def test_grouped_string_agg_ordered():
            .sort_values("k").reset_index(drop=True))
     assert out.k.tolist() == ["a", "b"]
     assert out["agg"].tolist() == ["x|y|z", "m|n"]
+
+
+def test_grouped_count_distinct_matches_pandas():
+    from snorkel_ray.stages.reshape import grouped_count_distinct
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 500),
+                       "u": rng.integers(0, 30, 500)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (grouped_count_distinct(ds, "k", "u", out="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ref = (df.groupby("k")["u"].nunique()
+           .reset_index().rename(columns={"u": "n"}))
+    assert out.k.tolist() == ref.k.tolist()
+    assert out.n.tolist() == ref.n.tolist()
+
+
+def test_grouped_argmax_ties_deterministic():
+    from snorkel_ray.stages.reshape import grouped_argmax
+
+    t = pa.table({"k": ["a", "a", "a", "b", "b"],
+                  "score": [5.0, 9.0, 9.0, 1.0, 1.0],
+                  "id": [3, 2, 1, 10, 9]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (grouped_argmax(ds, "k", ["score", "id"],
+                          descending=[True, False])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # max score wins; score ties break to the LOWEST id
+    assert out.k.tolist() == ["a", "b"]
+    assert out.id.tolist() == [1, 9]
