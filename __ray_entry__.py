@@ -749,6 +749,93 @@ def q_order_priority_argmax(sf_dir: str):
             .sort("o_orderpriority"))
 
 
+def q_order_price_rank(sf_dir: str):
+    """Exact RANK + DENSE_RANK per priority class over order price —
+    the fine-(key,value)-table plan: no full-group sort ever runs;
+    ranks compute on the distinct-pair table and broadcast back."""
+    from snorkel_ray.stages.reshape import grouped_rank
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = grouped_rank(ds, "o_orderpriority", "o_totalprice",
+                       out="price_rank", dense_out="price_dense_rank")
+    return (out.select_columns(["o_orderkey", "price_rank",
+                                "price_dense_rank"])
+            .sort("o_orderkey"))
+
+
+def q_customer_order_counts_outer(sf_dir: str):
+    """Left-outer count: every customer with their order count,
+    zero-order customers kept.  broadcast_limit=0 forces the
+    distributed left-outer hash join so the oracle checks the scale
+    path, with the zero default applied via coalesce after the join."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = (orders.groupby("o_custkey")
+              .aggregate(Count(alias_name="n_orders")))
+
+    def _zero(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column(
+            "_z", pa.array(np.zeros(b.num_rows, dtype="int64")))
+
+    out = apply_mapping(cust.map_batches(_zero, batch_format="pyarrow"),
+                        counts, "c_custkey", "o_custkey",
+                        "n_orders", "n_orders",
+                        default_col="_z", broadcast_limit=0)
+
+    def _clean(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("n_orders")
+        b = b.set_column(i, "n_orders",
+                         pc.cast(b.column("n_orders"), pa.int64()))
+        return b.drop_columns(["_z"])
+
+    return out.map_batches(_clean, batch_format="pyarrow").sort("c_custkey")
+
+
+def _year_custkeys(sf_dir: str, year: int):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _f(b: pa.Table) -> pa.Table:
+        m = pc.equal(pc.year(b.column("o_orderdate")), year)
+        return b.filter(m).select(["o_custkey"])
+
+    return orders.map_batches(_f, batch_format="pyarrow")
+
+
+def q_repeat_customers(sf_dir: str):
+    """SQL INTERSECT: custkeys ordering in BOTH 1995 and 1996 — a
+    distinct semi-join between the two year slices (broadcast under
+    the limit, hash semi-join above)."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.joins import semi_join
+
+    a = (_year_custkeys(sf_dir, 1995).groupby("o_custkey")
+         .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    return (semi_join(a, _year_custkeys(sf_dir, 1996), "o_custkey")
+            .sort("o_custkey"))
+
+
+def q_churned_customers(sf_dir: str):
+    """SQL EXCEPT: custkeys ordering in 1995 but not 1996 — the same
+    distinct slice anti-joined."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.joins import semi_join
+
+    a = (_year_custkeys(sf_dir, 1995).groupby("o_custkey")
+         .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    return (semi_join(a, _year_custkeys(sf_dir, 1996), "o_custkey",
+                      anti=True)
+            .sort("o_custkey"))
+
+
 def q_url_domain_stats(sf_dir: str):
     """URL canonicalization + per-domain crawl stats: synthetic crawl
     URLs (mixed-case host, www, tracking params, fragments, trailing
@@ -1527,6 +1614,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "event_user_distinct": q_event_user_distinct,
         "order_priority_argmax": q_order_priority_argmax,
+        "order_price_rank": q_order_price_rank,
+        "customer_order_counts_outer": q_customer_order_counts_outer,
+        "repeat_customers": q_repeat_customers,
+        "churned_customers": q_churned_customers,
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "stratified_sample_customers": q_stratified_sample_customers,
@@ -1708,6 +1799,30 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
                   FROM orders)
             WHERE rn = 1 ORDER BY o_orderpriority""",
+        "order_price_rank": """
+            SELECT o_orderkey,
+                   CAST(rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS BIGINT) AS price_rank,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS BIGINT) AS price_dense_rank
+            FROM orders ORDER BY o_orderkey""",
+        "customer_order_counts_outer": """
+            SELECT c.c_custkey,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+        "repeat_customers": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY o_custkey""",
+        "churned_customers": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY o_custkey""",
         "event_type_pivot": """
             SELECT user_id,
                    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 __all__ = ["pivot_table", "grouped_zscore", "grouped_corr",
            "grouped_string_agg", "grouped_count_distinct",
-           "grouped_argmax"]
+           "grouped_argmax", "grouped_rank"]
 
 
 def pivot_table(ds, index: str, pivot: str, categories: list[str], *,
@@ -194,6 +194,86 @@ def grouped_count_distinct(ds, key: str, value: str, *,
              .groupby([key, value]).aggregate(Count(alias_name="_c"))
              .drop_columns(["_c", value]))
     return pairs.groupby(key).aggregate(Count(alias_name=out))
+
+
+def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
+                 dense_out: str | None = None):
+    """Exact SQL ``rank() OVER (PARTITION BY key ORDER BY value)``
+    (and optionally ``dense_rank()``) without sorting any full group:
+
+    1. per-batch (key, value) count partials (free combiner), then
+       ``groupby(key, value).sum`` — the FINE table, one row per
+       distinct pair;
+    2. per-key rank prefix over the fine table only (rows = distinct
+       values per key ≪ input for real value columns; a hot key costs
+       O(its distinct values), not O(its rows)):
+       ``rank = cumsum(count) - count + 1``, ``dense = 1..n``;
+    3. ranks map back to rows via a composite (key, value) broadcast
+       / hash lookup (``apply_mapping``) — both sides build the
+       composite with the SAME arrow cast, so float formatting can
+       never diverge.
+
+    ``row_number()`` is deliberately NOT offered through this plan: a
+    unique tie-break makes the fine table as big as the input — use
+    ``grouped_topk`` / ``grouped_argmax`` for bounded-k needs."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    sep = pa.scalar("\x1f")
+
+    def _composite(b: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(b.column(key), pa.string()),
+            pc.cast(b.column(value), pa.string()), sep)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = (b.select([key, value]).to_pandas()
+              .groupby([key, value], sort=False, dropna=False)
+              .size().reset_index(name="_c"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fine = (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby([key, value]).aggregate(Sum("_c", alias_name="_n")))
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, kind="mergesort").reset_index(drop=True)
+        c = g["_n"].to_numpy()
+        g[out] = (np.cumsum(c) - c + 1).astype("int64")
+        if dense_out is not None:
+            g[dense_out] = np.arange(1, len(g) + 1, dtype="int64")
+        return g.drop(columns=["_n"])
+
+    ranks = fine.groupby(key).map_groups(_rank, batch_format="pandas")
+
+    def _key_ranks(b: pa.Table) -> pa.Table:
+        t = pa.table({"_ck": _composite(b)})
+        t = t.append_column(out, b.column(out))
+        if dense_out is not None:
+            t = t.append_column(dense_out, b.column(dense_out))
+        return t
+
+    mapping = ranks.map_batches(_key_ranks, batch_format="pyarrow")
+
+    def _add_ck(b: pa.Table) -> pa.Table:
+        return b.append_column("_ck", _composite(b))
+
+    rows = ds.map_batches(_add_ck, batch_format="pyarrow")
+    rows = apply_mapping(rows, mapping, "_ck", "_ck", out, out)
+    if dense_out is not None:
+        rows = apply_mapping(rows, mapping, "_ck", "_ck",
+                             dense_out, dense_out)
+
+    def _cast_clean(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["_ck"])
+        for c in [out] + ([dense_out] if dense_out else []):
+            i = b.schema.get_field_index(c)
+            b = b.set_column(i, c, pc.cast(b.column(c), pa.int64()))
+        return b
+
+    return rows.map_batches(_cast_clean, batch_format="pyarrow")
 
 
 def grouped_argmax(ds, key: str, order_cols: list[str], *,

@@ -120,3 +120,22 @@ def test_grouped_argmax_ties_deterministic():
     # max score wins; score ties break to the LOWEST id
     assert out.k.tolist() == ["a", "b"]
     assert out.id.tolist() == [1, 9]
+
+
+def test_grouped_rank_matches_pandas():
+    from snorkel_ray.stages.reshape import grouped_rank
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, 400),
+        "id": np.arange(400),
+        # coarse values so ties are common (rank != dense_rank)
+        "v": rng.integers(0, 20, 400).astype("float64") / 4.0})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (grouped_rank(ds, "k", "v", out="r", dense_out="dr")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    g = df.groupby("k")["v"]
+    ref_r = g.rank(method="min").astype("int64")
+    ref_dr = g.rank(method="dense").astype("int64")
+    assert out.r.tolist() == ref_r.tolist()
+    assert out.dr.tolist() == ref_dr.tolist()
