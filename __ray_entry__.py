@@ -1585,6 +1585,25 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=3)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed full-data Lloyd k-means over the embedding table
+    (rows-only: iterative, non-SQL).  Per-iteration cost is one
+    streaming pass with per-batch combiner partials — no shuffle; the
+    driver only ever merges k × blocks partial rows.  Returns the
+    per-cluster member counts from the final assignment pass."""
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.similarity import (assign_centroids,
+                                               kmeans_fit_full)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, _info = kmeans_fit_full(ds, n_centroids=8, n_iter=5, seed=11)
+    return (assign_centroids(ds, C)
+            .groupby("centroid_id")
+            .aggregate(Count(alias_name="n_members"))
+            .sort("centroid_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_count_by_lang": q_doc_count_by_lang,
@@ -1654,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": q_text_analysis,
         "kg_pipeline": q_kg_pipeline_sf,
         "ivf_topk": q_ivf_topk,
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_pipeline": q_multimodal_pipeline,
     }

@@ -255,7 +255,11 @@ def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
             t = t.append_column(dense_out, b.column(dense_out))
         return t
 
-    mapping = ranks.map_batches(_key_ranks, batch_format="pyarrow")
+    # materialized once: both apply_mapping passes (rank + dense) gate
+    # on its count, and without this the whole fine+rank pipeline
+    # would re-execute per pass
+    mapping = ranks.map_batches(_key_ranks,
+                                batch_format="pyarrow").materialize()
 
     def _add_ck(b: pa.Table) -> pa.Table:
         return b.append_column("_ck", _composite(b))

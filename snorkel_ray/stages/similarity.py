@@ -91,6 +91,89 @@ def fit_centroids(ds, *, vec_column: str = "embedding", n_centroids: int = 16,
     return C
 
 
+def kmeans_fit_full(ds, *, vec_column: str = "embedding",
+                    n_centroids: int = 16, n_iter: int = 5, seed: int = 11,
+                    init: np.ndarray | None = None,
+                    tol: float = 1e-4) -> tuple[np.ndarray, dict]:
+    """Distributed full-data Lloyd's k-means (spherical: cosine
+    assignment, centroids re-normalized) — the iterative-algorithm
+    pattern at scale.  Per iteration ONE streaming pass, NO shuffle:
+
+    1. centroids broadcast once via ``ray.put``;
+    2. each batch computes its argmax assignment and reduces itself to
+       at most k partial rows (float64 per-centroid vector sums +
+       counts) inside ``map_batches`` — the combiner;
+    3. the driver merges k × num_blocks tiny partial rows
+       (``iter_batches``, never the data) and updates the centroids.
+
+    Converges like the classic algorithm; empty clusters keep their
+    previous centroid.  Returns (centroids, info) with per-iteration
+    centroid shift so callers can see convergence.  ``init`` defaults
+    to the sampled ``fit_centroids`` warm start (good seeds cut
+    full-data iterations — at 100 TB each saved iteration is a full
+    corpus read)."""
+    import ray
+
+    C = init if init is not None else fit_centroids(
+        ds, vec_column=vec_column, n_centroids=n_centroids, seed=seed)
+    C = _norm(np.asarray(C, dtype=np.float32))
+    k, dim = C.shape
+    shifts = []
+
+    for it in range(n_iter):
+        c_ref = ray.put(C)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)
+            vecs = np.asarray(batch.column(vec_column).to_pylist(),
+                              dtype=np.float32)
+            if len(vecs) == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int32()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64())})
+            X = _norm(vecs)
+            assign = np.argmax(X @ Cm.T, axis=1)
+            cids = np.unique(assign)
+            sums = np.zeros((len(cids), X.shape[1]), dtype=np.float64)
+            counts = np.zeros(len(cids), dtype=np.int64)
+            for j, c in enumerate(cids):
+                m = assign == c
+                sums[j] = X[m].sum(axis=0, dtype=np.float64)
+                counts[j] = int(m.sum())
+            offs = pa.array(np.arange(0, (len(cids) + 1) * X.shape[1],
+                                      X.shape[1], dtype=np.int32))
+            return pa.table({
+                "cid": pa.array(cids.astype(np.int32)),
+                "vsum": pa.ListArray.from_arrays(
+                    offs, pa.array(sums.reshape(-1), pa.float64())),
+                "n": pa.array(counts)})
+
+        agg_sum = np.zeros((k, dim), dtype=np.float64)
+        agg_n = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(_partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            cids = b.column("cid").to_numpy(zero_copy_only=False)
+            vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.float64)
+            ns = b.column("n").to_numpy(zero_copy_only=False)
+            if len(cids):
+                np.add.at(agg_sum, cids, vs)
+                np.add.at(agg_n, cids, ns)
+
+        newC = C.copy()
+        nonempty = agg_n > 0
+        newC[nonempty] = _norm(
+            (agg_sum[nonempty] / agg_n[nonempty, None])).astype(np.float32)
+        shift = float(np.abs(newC - C).max())
+        shifts.append(shift)
+        C = newC
+        if shift < tol:
+            break
+
+    return C, {"iterations": len(shifts), "max_shift_per_iter": shifts,
+               "cluster_sizes": agg_n.tolist()}
+
+
 def assign_centroids(ds, centroids: np.ndarray, *,
                      vec_column: str = "embedding"):
     """Persist the IVF partition assignment: append ``centroid_id`` =

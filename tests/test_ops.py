@@ -337,3 +337,34 @@ def test_range_join_both_plans(ray_session):
                           "s": pd.array([], dtype="int64"),
                           "e": pd.array([], dtype="int64")})
     assert range_join(lds, empty, "k", "t", "s", "e").count() == 0
+
+
+def test_kmeans_fit_full_recovers_blobs(ray_session):
+    """Distributed Lloyd on 3 well-separated spherical blobs must
+    converge to one centroid per blob (every blob's members agree on a
+    cluster, clusters distinct) and report shrinking shifts."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import assign_centroids, kmeans_fit_full
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10, 0, 0], [0, 10, 0], [0, 0, 10]], dtype=np.float32)
+    X = np.concatenate([
+        c + rng.normal(0, 0.3, (50, 3)).astype(np.float32) for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(150)),
+        "embedding": pa.array([list(map(float, v)) for v in X],
+                              pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+
+    C, info = kmeans_fit_full(ds, n_centroids=3, n_iter=8, seed=5)
+    assert C.shape == (3, 3)
+    assert sorted(info["cluster_sizes"]) == [50, 50, 50]
+
+    got = assign_centroids(ds, C).to_pandas().sort_values("vec_id")
+    a = got.centroid_id.to_numpy()
+    blobs = [set(a[i * 50:(i + 1) * 50]) for i in range(3)]
+    assert all(len(b) == 1 for b in blobs)          # each blob pure
+    assert len(set.union(*blobs)) == 3              # all clusters used
+    # converging: last recorded shift no larger than the first
+    assert info["max_shift_per_iter"][-1] <= info["max_shift_per_iter"][0]
