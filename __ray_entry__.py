@@ -758,9 +758,12 @@ def q_order_price_rank(sf_dir: str):
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_orderpriority", "o_totalprice"])
     out = grouped_rank(ds, "o_orderpriority", "o_totalprice",
-                       out="price_rank", dense_out="price_dense_rank")
+                       out="price_rank", dense_out="price_dense_rank",
+                       percent_out="price_pct_rank",
+                       cume_out="price_cume_dist")
     return (out.select_columns(["o_orderkey", "price_rank",
-                                "price_dense_rank"])
+                                "price_dense_rank", "price_pct_rank",
+                                "price_cume_dist"])
             .sort("o_orderkey"))
 
 
@@ -1821,13 +1824,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 ORDER BY o_orderpriority""",
         "order_price_rank": """
             SELECT o_orderkey,
-                   CAST(rank() OVER (
-                       PARTITION BY o_orderpriority
-                       ORDER BY o_totalprice) AS BIGINT) AS price_rank,
-                   CAST(dense_rank() OVER (
-                       PARTITION BY o_orderpriority
-                       ORDER BY o_totalprice) AS BIGINT) AS price_dense_rank
-            FROM orders ORDER BY o_orderkey""",
+                   CAST(rank() OVER w AS BIGINT) AS price_rank,
+                   CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+                   percent_rank() OVER w AS price_pct_rank,
+                   cume_dist() OVER w AS price_cume_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice)
+            ORDER BY o_orderkey""",
         "customer_order_counts_outer": """
             SELECT c.c_custkey,
                    CAST(count(o.o_custkey) AS BIGINT) AS n_orders

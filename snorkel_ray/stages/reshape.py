@@ -197,9 +197,14 @@ def grouped_count_distinct(ds, key: str, value: str, *,
 
 
 def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
-                 dense_out: str | None = None):
+                 dense_out: str | None = None,
+                 percent_out: str | None = None,
+                 cume_out: str | None = None):
     """Exact SQL ``rank() OVER (PARTITION BY key ORDER BY value)``
-    (and optionally ``dense_rank()``) without sorting any full group:
+    (and optionally ``dense_rank()``, ``percent_rank()`` =
+    (rank−1)/(N−1), ``cume_dist()`` = running-count/N — all four are
+    functions of the fine table alone) without sorting any full
+    group:
 
     1. per-batch (key, value) count partials (free combiner), then
        ``groupby(key, value).sum`` — the FINE table, one row per
@@ -238,26 +243,36 @@ def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
     fine = (ds.map_batches(_partial, batch_format="pyarrow")
             .groupby([key, value]).aggregate(Sum("_c", alias_name="_n")))
 
+    int_cols = [out] + ([dense_out] if dense_out else [])
+    float_cols = ([percent_out] if percent_out else []) \
+        + ([cume_out] if cume_out else [])
+    rank_cols = int_cols + float_cols
+
     def _rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value, kind="mergesort").reset_index(drop=True)
         c = g["_n"].to_numpy()
-        g[out] = (np.cumsum(c) - c + 1).astype("int64")
+        run = np.cumsum(c)
+        n_rows = run[-1] if len(run) else 0
+        g[out] = (run - c + 1).astype("int64")
         if dense_out is not None:
             g[dense_out] = np.arange(1, len(g) + 1, dtype="int64")
+        if percent_out is not None:
+            g[percent_out] = (g[out] - 1) / max(n_rows - 1, 1)
+        if cume_out is not None:
+            g[cume_out] = run / max(n_rows, 1)
         return g.drop(columns=["_n"])
 
     ranks = fine.groupby(key).map_groups(_rank, batch_format="pandas")
 
     def _key_ranks(b: pa.Table) -> pa.Table:
         t = pa.table({"_ck": _composite(b)})
-        t = t.append_column(out, b.column(out))
-        if dense_out is not None:
-            t = t.append_column(dense_out, b.column(dense_out))
+        for c in rank_cols:
+            t = t.append_column(c, b.column(c))
         return t
 
-    # materialized once: both apply_mapping passes (rank + dense) gate
-    # on its count, and without this the whole fine+rank pipeline
-    # would re-execute per pass
+    # materialized once: every apply_mapping pass gates on its count,
+    # and without this the whole fine+rank pipeline would re-execute
+    # per pass
     mapping = ranks.map_batches(_key_ranks,
                                 batch_format="pyarrow").materialize()
 
@@ -265,16 +280,17 @@ def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
         return b.append_column("_ck", _composite(b))
 
     rows = ds.map_batches(_add_ck, batch_format="pyarrow")
-    rows = apply_mapping(rows, mapping, "_ck", "_ck", out, out)
-    if dense_out is not None:
-        rows = apply_mapping(rows, mapping, "_ck", "_ck",
-                             dense_out, dense_out)
+    for c in rank_cols:
+        rows = apply_mapping(rows, mapping, "_ck", "_ck", c, c)
 
     def _cast_clean(b: pa.Table) -> pa.Table:
         b = b.drop_columns(["_ck"])
-        for c in [out] + ([dense_out] if dense_out else []):
+        for c in int_cols:
             i = b.schema.get_field_index(c)
             b = b.set_column(i, c, pc.cast(b.column(c), pa.int64()))
+        for c in float_cols:
+            i = b.schema.get_field_index(c)
+            b = b.set_column(i, c, pc.cast(b.column(c), pa.float64()))
         return b
 
     return rows.map_batches(_cast_clean, batch_format="pyarrow")

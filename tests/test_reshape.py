@@ -139,3 +139,18 @@ def test_grouped_rank_matches_pandas():
     ref_dr = g.rank(method="dense").astype("int64")
     assert out.r.tolist() == ref_r.tolist()
     assert out.dr.tolist() == ref_dr.tolist()
+
+
+def test_grouped_rank_percent_and_cume():
+    from snorkel_ray.stages.reshape import grouped_rank
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"],
+                       "id": range(6),
+                       "v": [1.0, 2.0, 2.0, 3.0, 3.0, 7.0]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (grouped_rank(ds, "k", "v", out="r", percent_out="pr",
+                        cume_out="cd")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out.r.tolist() == [1, 2, 2, 4, 4, 1]
+    assert out.pr.tolist() == [0.0, 0.25, 0.25, 0.75, 0.75, 0.0]
+    assert out.cd.tolist() == [0.2, 0.6, 0.6, 1.0, 1.0, 1.0]
