@@ -96,18 +96,13 @@ def exact_dedup(ds, column: str, *, keep_key: str | None = None):
     byte-identical physical copies differ only in the batch-unique
     suffix, so which copy survives is arbitrary but indistinguishable.
 
-    Without ``keep_key`` there is no deterministic winner to name, so
-    the per-group-first fallback remains (arbitrary-but-stable within a
-    run)."""
+    Without ``keep_key`` there is no caller-named winner — the row kept
+    is arbitrary-but-stable within a run (fingerprint-ordered) — but
+    the PLAN is the same vectorized aggregate: the serialized keep_key
+    prefix is simply empty.  (The old per-group ``map_groups(head(1))``
+    fallback paid the ~0.1 ms pandas tax per near-singleton group this
+    function exists to avoid.)"""
     hashed = add_content_hash(ds, column)
-
-    if keep_key is None:
-        def _first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.head(1)
-
-        return (hashed.groupby("content_hash")
-                .map_groups(_first, batch_format="pandas")
-                .drop_columns(["content_hash"]))
 
     from ray.data.aggregate import Min
 
@@ -116,7 +111,8 @@ def exact_dedup(ds, column: str, *, keep_key: str | None = None):
     def _row_keys(batch: pa.Table) -> pa.Table:
         import uuid
 
-        ser = _sort_key_strings(batch.column(keep_key))
+        ser = (_sort_key_strings(batch.column(keep_key))
+               if keep_key is not None else [""] * batch.num_rows)
         try:  # vectorized full-row fingerprint (tie-break between
             import polars as pl  # distinct rows sharing the keep_key)
 

@@ -206,3 +206,17 @@ def test_pos_mix_no_period8_collision():
     h1 = _shingle_hashes(" ".join(words), 10)
     h2 = _shingle_hashes(" ".join(swapped), 10)
     assert not np.array_equal(h1, h2)
+
+
+def test_exact_dedup_no_keep_key(ray_session):
+    """keep_key=None rides the same vectorized Min-aggregate plan:
+    exactly one survivor per distinct text, including byte-identical
+    full-row copies."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    rows = [{"doc_id": i % 4, "text": f"t{i % 3}"} for i in range(12)]
+    out = exact_dedup(rd.from_items(rows).repartition(3),
+                      "text").to_pandas()
+    assert sorted(out.text.tolist()) == ["t0", "t1", "t2"]
