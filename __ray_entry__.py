@@ -1588,6 +1588,20 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=3)
 
 
+def q_heavy_hitter_parts(sf_dir: str):
+    """Top-10 most-frequent partkeys via the Space-Saving sketch —
+    zero-shuffle: per-batch exact value counts stream into an
+    O(capacity) driver merge.  Capacity (32k) exceeds the distinct
+    partkeys at the contract scales, so the result is EXACT and
+    oracle-checkable; at 100 TB the same code degrades to bounded-
+    error counts instead of an unbounded groupby."""
+    from snorkel_ray.stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    t = heavy_hitters(ds, "l_partkey", k=10, capacity=32768)
+    return t.select(["l_partkey", "n"])
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed full-data Lloyd k-means over the embedding table
     (rows-only: iterative, non-SQL).  Per-iteration cost is one
@@ -1677,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pipeline": q_kg_pipeline_sf,
         "ivf_topk": q_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
+        "heavy_hitter_parts": q_heavy_hitter_parts,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
@@ -1847,6 +1862,10 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
             ORDER BY o_custkey""",
+        "heavy_hitter_parts": """
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY n DESC, l_partkey LIMIT 10""",
         "event_type_pivot": """
             SELECT user_id,
                    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

@@ -203,3 +203,92 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
         for blob in b.column("sketch").to_pylist():
             acc = acc.merge(HLL.deserialize(blob))
     return acc.estimate()
+
+
+class SpaceSaving:
+    """Space-Saving heavy hitters (Metwally et al. 2005 public
+    algorithm), weighted-update variant: at most ``capacity`` tracked
+    keys; an unseen key evicts the current minimum and inherits its
+    count as overestimation error.  Guarantees: every key with true
+    count > N/capacity is present, and each reported count is within
+    ``err`` of truth (err ≤ N/capacity).  When the stream's distinct
+    count never exceeds ``capacity`` the counts are EXACT (err 0) —
+    which is what makes the contract query oracle-checkable while the
+    100 TB path degrades gracefully instead of OOMing."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errs: dict = {}
+
+    def update(self, key, w: int = 1) -> None:
+        c = self.counts.get(key)
+        if c is not None:
+            self.counts[key] = c + w
+        elif len(self.counts) < self.capacity:
+            self.counts[key] = w
+            self.errs[key] = 0
+        else:
+            mk = min(self.counts, key=self.counts.get)
+            mc = self.counts.pop(mk)
+            self.errs.pop(mk)
+            self.counts[key] = mc + w
+            self.errs[key] = mc
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        out = SpaceSaving(self.capacity)
+        keys = set(self.counts) | set(other.counts)
+        # union counts; a key absent from one side could have been
+        # evicted there, so its missing-side count is bounded by that
+        # side's min (absorbed into err conservatively)
+        min_s = min(self.counts.values(), default=0) \
+            if len(self.counts) >= self.capacity else 0
+        min_o = min(other.counts.values(), default=0) \
+            if len(other.counts) >= other.capacity else 0
+        merged = []
+        for k in keys:
+            c = self.counts.get(k, 0) + other.counts.get(k, 0)
+            e = self.errs.get(k, min_s if k not in self.counts else 0) \
+                + other.errs.get(k, min_o if k not in other.counts else 0)
+            merged.append((c, k, e))
+        merged.sort(reverse=True)
+        for c, k, e in merged[:self.capacity]:
+            out.counts[k] = c
+            out.errs[k] = e
+        return out
+
+    def topk(self, k: int) -> list[tuple]:
+        """(key, count, err) descending by count, key-ascending ties."""
+        items = sorted(self.counts.items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(key, c, self.errs[key]) for key, c in items]
+
+
+def heavy_hitters(ds, column: str, *, k: int = 10, capacity: int = 4096):
+    """Distributed top-k frequent values: per-batch EXACT value counts
+    (vectorized — bounded by the batch's distinct values) stream to a
+    driver Space-Saving merge of ``capacity`` keys.  No shuffle at
+    all; driver state is O(capacity), never O(distinct).  Counts are
+    exact whenever global distinct ≤ capacity; otherwise each count
+    carries its overestimation bound.
+
+    Returns a pyarrow Table (value, n, err) in (n desc, value asc)
+    order."""
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = (batch.select([column]).to_pandas()[column]
+              .value_counts(dropna=True))
+        return pa.table({"v": pa.array(vc.index),
+                         "c": pa.array(vc.to_numpy(), pa.int64())})
+
+    acc = SpaceSaving(capacity)
+    for b in ds.map_batches(_partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b.column("v").to_pylist(),
+                        b.column("c").to_pylist()):
+            acc.update(v, c)
+    top = acc.topk(k)
+    return pa.table({column: pa.array([t[0] for t in top]),
+                     "n": pa.array([t[1] for t in top], pa.int64()),
+                     "err": pa.array([t[2] for t in top], pa.int64())})

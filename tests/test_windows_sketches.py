@@ -410,3 +410,41 @@ def test_cumulative_sum_plain_and_chunked_parity(ray_session):
     assert len(chunked) == len(expect)
     np.testing.assert_allclose(chunked["cum_value"], expect["cum_value"],
                                rtol=1e-12)
+
+
+def test_space_saving_exact_and_approx(ray_session):
+    """Capacity >= distinct: exact counts, zero err.  Tiny capacity on
+    a skewed stream: the true heavy hitter is still reported and its
+    count bound (n - err <= true <= n) holds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.sketches import SpaceSaving, heavy_hitters
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([
+        np.full(500, 7), rng.integers(100, 400, 1500)]).astype("int64")
+    rng.shuffle(vals)
+    df = pd.DataFrame({"x": vals})
+    ds = rd.from_pandas(df).repartition(6)
+
+    exact = heavy_hitters(ds, "x", k=5, capacity=1000).to_pandas()
+    ref = (df.x.value_counts().reset_index()
+           .sort_values(["count", "x"], ascending=[False, True]).head(5))
+    assert exact.x.tolist() == ref.x.tolist()
+    assert exact.n.tolist() == ref["count"].tolist()
+    assert (exact["err"] == 0).all()
+
+    approx = heavy_hitters(ds, "x", k=3, capacity=16).to_pandas()
+    assert approx.x.iloc[0] == 7          # guarantee: count > N/capacity
+    top = approx.iloc[0]
+    assert top.n - top.err <= 500 <= top.n
+
+    # merge: splitting a stream across two sketches loses no hitter
+    a, b = SpaceSaving(16), SpaceSaving(16)
+    for v in vals[:1000]:
+        a.update(int(v))
+    for v in vals[1000:]:
+        b.update(int(v))
+    m = a.merge(b)
+    assert m.topk(1)[0][0] == 7
