@@ -199,7 +199,8 @@ def grouped_count_distinct(ds, key: str, value: str, *,
 def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
                  dense_out: str | None = None,
                  percent_out: str | None = None,
-                 cume_out: str | None = None):
+                 cume_out: str | None = None,
+                 descending: bool = False):
     """Exact SQL ``rank() OVER (PARTITION BY key ORDER BY value)``
     (and optionally ``dense_rank()``, ``percent_rank()`` =
     (rank−1)/(N−1), ``cume_dist()`` = running-count/N — all four are
@@ -249,7 +250,9 @@ def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
     rank_cols = int_cols + float_cols
 
     def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(value, kind="mergesort").reset_index(drop=True)
+        g = (g.sort_values(value, kind="mergesort",
+                           ascending=not descending)
+             .reset_index(drop=True))
         c = g["_n"].to_numpy()
         run = np.cumsum(c)
         n_rows = run[-1] if len(run) else 0

@@ -154,3 +154,16 @@ def test_grouped_rank_percent_and_cume():
     assert out.r.tolist() == [1, 2, 2, 4, 4, 1]
     assert out.pr.tolist() == [0.0, 0.25, 0.25, 0.75, 0.75, 0.0]
     assert out.cd.tolist() == [0.2, 0.6, 0.6, 1.0, 1.0, 1.0]
+
+
+def test_grouped_rank_descending():
+    from snorkel_ray.stages.reshape import grouped_rank
+
+    df = pd.DataFrame({"k": ["a"] * 4, "id": range(4),
+                       "v": [1.0, 3.0, 3.0, 2.0]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (grouped_rank(ds, "k", "v", out="r", descending=True)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = df.groupby("k")["v"].rank(method="min",
+                                    ascending=False).astype("int64")
+    assert out.r.tolist() == ref.tolist()
