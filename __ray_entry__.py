@@ -839,6 +839,22 @@ def q_churned_customers(sf_dir: str):
             .sort("o_custkey"))
 
 
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four groupings
+    (fine, each single-key margin, grand total) from ONE pass over
+    lineitem — the shared rollup/cube engine re-aggregates the fine
+    table per margin."""
+    from snorkel_ray.stages.rollup import cube_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = cube_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                         {"n_items": ("count", "l_returnflag"),
+                          "sum_qty": ("sum", "l_quantity")})
+    return _round_cols(out, {"sum_qty": 2}) \
+        .sort(["l_returnflag", "l_linestatus"])
+
+
 def q_url_domain_stats(sf_dir: str):
     """URL canonicalization + per-domain crawl stats: synthetic crawl
     URLs (mixed-case host, www, tracking params, fragments, trailing
@@ -1641,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "pii_redaction": q_pii_redaction,
         "lineitem_rollup": q_lineitem_rollup,
+        "lineitem_cube": q_lineitem_cube,
         "url_domain_stats": q_url_domain_stats,
         "event_type_pivot": q_event_type_pivot,
         "lineitem_corr": q_lineitem_corr,
@@ -1914,6 +1931,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
+        "lineitem_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus""",
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["rollup_aggregate"]
+__all__ = ["rollup_aggregate", "cube_aggregate"]
 
 _REAGG = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
@@ -54,6 +54,32 @@ def rollup_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     One pass over ``ds`` (the fine groupby); levels re-aggregate the
     fine table.
     """
+    groupings = [keys[:cut] for cut in range(len(keys) - 1, -1, -1)]
+    return _multi_level(ds, keys, groupings, spec, all_label)
+
+
+def cube_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+                   *, all_label: str = "ALL"):
+    """``GROUP BY CUBE(*keys)``: one row set per SUBSET of ``keys``
+    (2^k groupings — fine, every partial margin, grand total), missing
+    key columns filled with ``all_label``.  Same one-pass plan as
+    ROLLUP: only the fine groupby touches the input; all other
+    groupings re-aggregate the fine table.  ``len(keys)`` must stay
+    small (2^k unions) — which it is for any sane CUBE."""
+    from itertools import combinations
+
+    groupings = []
+    for r in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, r):
+            groupings.append(list(kept))
+    return _multi_level(ds, keys, groupings, spec, all_label)
+
+
+def _multi_level(ds, keys, groupings, spec, all_label):
+    """Shared ROLLUP/CUBE engine: ONE fine groupby over the input,
+    then one re-aggregation of the (materialized, distinct-keys-sized)
+    fine table per coarser grouping, unioned with grouped-out key
+    columns filled with ``all_label``."""
     if not keys:
         raise ValueError("keys must be non-empty")
     for op, _ in spec.values():
@@ -80,8 +106,8 @@ def rollup_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str]],
         return _f
 
     levels = [fine.map_batches(_with_all([]), batch_format="pyarrow")]
-    for cut in range(len(keys) - 1, -1, -1):
-        kept = keys[:cut]
+    for kept in groupings:
+        missing = [k for k in keys if k not in kept]
         if kept:
             lvl = fine.groupby(kept).aggregate(*_aggs(spec, from_fine=True))
         else:
@@ -91,7 +117,7 @@ def rollup_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str]],
             row = fine.aggregate(*_aggs(spec, from_fine=True))
             lvl = rd.from_arrow(pa.table(
                 {name: [row[name]] for name in value_cols}))
-        levels.append(lvl.map_batches(_with_all(keys[cut:]),
+        levels.append(lvl.map_batches(_with_all(missing),
                                       batch_format="pyarrow"))
 
     out = levels[0]

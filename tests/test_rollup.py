@@ -49,3 +49,26 @@ def test_rollup_validates():
         rollup_aggregate(_ds(), [], {"n": ("count", "a")})
     with pytest.raises(ValueError):
         rollup_aggregate(_ds(), ["a"], {"m": ("mean", "v")})
+
+
+def test_cube_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.rollup import cube_aggregate
+
+    df = pd.DataFrame({"a": ["x", "x", "y", "y", "y"],
+                       "b": ["p", "q", "p", "p", "q"],
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (cube_aggregate(ds, ["a", "b"], {"n": ("count", "a"),
+                                           "s": ("sum", "v")})
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # 4 fine rows + 2 a-margins + 2 b-margins + 1 grand total = 9
+    assert len(out) == 9
+    got = {(r.a, r.b): (r.n, r.s) for r in out.itertuples()}
+    assert got[("x", "p")] == (1, 1.0)
+    assert got[("x", "ALL")] == (2, 3.0)
+    assert got[("ALL", "p")] == (3, 8.0)
+    assert got[("ALL", "q")] == (2, 7.0)
+    assert got[("ALL", "ALL")] == (5, 15.0)
