@@ -368,3 +368,31 @@ def test_kmeans_fit_full_recovers_blobs(ray_session):
     assert len(set.union(*blobs)) == 3              # all clusters used
     # converging: last recorded shift no larger than the first
     assert info["max_shift_per_iter"][-1] <= info["max_shift_per_iter"][0]
+
+
+def test_range_join_timestamp_axis(ray_session):
+    """Timestamp ts/start/end columns chunk correctly (unit-normalized
+    to microseconds) through the distributed plan."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import range_join
+
+    base = pd.Timestamp("2026-01-01")
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "t": [base, base + pd.Timedelta("36h"),
+              base + pd.Timedelta("10D"), base + pd.Timedelta("1h")],
+        "row": [0, 1, 2, 3]})
+    iv = pd.DataFrame({
+        "k": [1, 2],
+        "s": [base, base + pd.Timedelta("2h")],
+        "e": [base + pd.Timedelta("3D"), base + pd.Timedelta("4h")],
+        "tag": ["w1", "w2"]})
+    lds = rd.from_pandas(left).repartition(2)
+    out = range_join(lds, iv, "k", "t", "s", "e",
+                     chunk="1D", broadcast_limit=0).to_pandas()
+    # rows 0,1 fall in k=1's 3-day window; row 2 outside; row 3's key-2
+    # window starts after it
+    assert sorted(out.row.tolist()) == [0, 1]
+    assert set(out.tag) == {"w1"}
