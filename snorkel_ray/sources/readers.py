@@ -180,24 +180,51 @@ def read_jsonl_docs(path: str | list[str], *,
     return ds.map_batches(_parse, batch_format="pyarrow")
 
 
-def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None):
-    """JSONL sink: one shard file per block (resumable layout — a
-    re-run overwrites shard files atomically via temp+rename, and
-    readers glob the directory).  Columns default to all; values must
-    be JSON-serializable (timestamps stringify)."""
+def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
+                overwrite: bool = True):
+    """JSONL sink: one shard file per block, named by the shard's
+    CONTENT HASH (``part-<blake2b(payload)>.jsonl``), written via
+    temp+rename.  Determinism is the idempotence mechanism (ADVICE
+    r3 — uuid names meant a Ray task retry / lineage re-execution
+    left a second copy of the shard behind):
+
+    - a task retry re-serializes the same block → same name → the
+      rename replaces the half/duplicate file instead of adding one;
+    - a re-run into an existing directory first CLEARS previous
+      ``part-*.jsonl`` shards (``overwrite=True``, default) or raises
+      ``FileExistsError`` (``overwrite=False``) — it never appends.
+
+    Caveat: two distinct blocks with byte-identical serialized content
+    collapse to one shard (their rows are identical, but multiplicity
+    across blocks is lost); pipelines that must preserve exact
+    duplicate BLOCKS should add a distinguishing column.  Columns
+    default to all; values must be JSON-serializable (timestamps
+    stringify)."""
+    import glob as _glob
+    import hashlib as _hashlib
     import os as _os
-    import uuid as _uuid
 
     _os.makedirs(out_dir, exist_ok=True)
+    stale = _glob.glob(_os.path.join(out_dir, "part-*.jsonl"))
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"write_jsonl: {out_dir} already holds {len(stale)} "
+                "shard(s); pass overwrite=True to replace them")
+        for p in stale:
+            _os.remove(p)
 
     def _write(batch: pa.Table) -> pa.Table:
         cols = columns or batch.schema.names
         rows = pa.table({c: batch.column(c) for c in cols}).to_pylist()
-        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        payload = "".join(
+            json.dumps(r, default=str, sort_keys=True) + "\n"
+            for r in rows).encode()
+        digest = _hashlib.blake2b(payload, digest_size=16).hexdigest()
+        name = f"part-{digest}.jsonl"
         tmp = _os.path.join(out_dir, "." + name + ".tmp")
-        with open(tmp, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r, default=str, sort_keys=True) + "\n")
+        with open(tmp, "wb") as f:
+            f.write(payload)
         _os.replace(tmp, _os.path.join(out_dir, name))
         return pa.table({"path": pa.array(
             [_os.path.join(out_dir, name)], pa.string()),

@@ -64,7 +64,10 @@ def line_counts(ds, column: str = "text", sep: str = "\n"):
     from ray.data.aggregate import Sum
 
     def _partial(b: pa.Table) -> pa.Table:
-        split = pc.split_pattern(b.column(column), sep)
+        # null text rows count as empty documents (split of a null is
+        # null and set(None) would TypeError — ADVICE r3)
+        split = pc.split_pattern(
+            pc.fill_null(b.column(column), ""), sep)
         flat = split.combine_chunks().flatten() if isinstance(
             split, pa.ChunkedArray) else split.flatten()
         occ = Counter(flat.to_pylist())
@@ -123,7 +126,7 @@ def remove_frequent_lines(ds, column: str = "text", sep: str = "\n", *,
             texts = b.column(column).to_pylist()
             out, kept_n, rem_n = [], [], []
             for t in texts:
-                lines = t.split(sep)
+                lines = (t or "").split(sep)
                 kept = [ln for ln in lines if ln not in freq]
                 out.append(sep.join(kept))
                 kept_n.append(len(kept))
@@ -163,7 +166,7 @@ def remove_frequent_lines(ds, column: str = "text", sep: str = "\n", *,
             # pickled payload: Arrow's hash join rejects struct
             # non-key fields, so the row rides as opaque bytes
             blob = pickle.dumps(row)
-            for j, ln in enumerate(row[column].split(sep)):
+            for j, ln in enumerate((row[column] or "").split(sep)):
                 uid.append(f"{tag}:{r}")
                 idx.append(j)
                 lines.append(ln)

@@ -330,6 +330,17 @@ def range_join(left, intervals, key: str, ts: str, start: str, end: str, *,
         return left.map_batches(lambda b: b.slice(0, 0),
                                 batch_format="pyarrow")
 
+    iv_cols = [start, end] + value_cols
+
+    def _check_collisions(left_names) -> None:
+        # a shared name would be silently suffixed "_iv" by the merge
+        # and the between-filter would read the LEFT column (ADVICE r3)
+        clash = set(left_names) & set(iv_cols)
+        if clash:
+            raise ValueError(
+                f"range_join: left columns {sorted(clash)} collide with "
+                "interval start/end/value columns — rename one side")
+
     if n <= broadcast_limit:
         idf = (intervals
                .select_columns([key, start, end] + value_cols)
@@ -337,6 +348,7 @@ def range_join(left, intervals, key: str, ts: str, start: str, end: str, *,
         iv_ref = ray.put(idf)
 
         def _probe(b: pa.Table) -> pa.Table:
+            _check_collisions(b.schema.names)
             iv = ray.get(iv_ref)
             df = b.to_pandas()
             m = df.merge(iv, on=key, how="inner",
@@ -367,6 +379,7 @@ def range_join(left, intervals, key: str, ts: str, start: str, end: str, *,
                if isinstance(chunk, str) else chunk)
 
     def _left_chunk(b: pa.Table) -> pa.Table:
+        _check_collisions(b.schema.names)
         c = _axis_int(b.column(ts)) // chunk_w
         return b.append_column("_chunk", pa.array(c.astype(np.int64)))
 

@@ -230,10 +230,26 @@ def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
 
     sep = pa.scalar("\x1f")
 
+    def _canon(col):
+        # the fine table crosses a pandas hop (timestamp[us] comes back
+        # as [ns]) while the raw-row side never does; canonicalize
+        # temporal columns to int64 microseconds BEFORE the string cast
+        # so both sides stringify identically (ADVICE r3 — without this
+        # every lookup missed and ranks were silently null)
+        t = col.type
+        if pa.types.is_timestamp(t):
+            return pc.cast(pc.cast(col, pa.timestamp("us", tz=t.tz)),
+                           pa.int64())
+        if pa.types.is_date(t):
+            return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        if pa.types.is_time(t):
+            return pc.cast(pc.cast(col, pa.time64("us")), pa.int64())
+        return col
+
     def _composite(b: pa.Table) -> pa.Array:
         return pc.binary_join_element_wise(
-            pc.cast(b.column(key), pa.string()),
-            pc.cast(b.column(value), pa.string()), sep)
+            pc.cast(_canon(b.column(key)), pa.string()),
+            pc.cast(_canon(b.column(value)), pa.string()), sep)
 
     def _partial(b: pa.Table) -> pa.Table:
         df = (b.select([key, value]).to_pandas()

@@ -94,7 +94,8 @@ def fit_centroids(ds, *, vec_column: str = "embedding", n_centroids: int = 16,
 def kmeans_fit_full(ds, *, vec_column: str = "embedding",
                     n_centroids: int = 16, n_iter: int = 5, seed: int = 11,
                     init: np.ndarray | None = None,
-                    tol: float = 1e-4) -> tuple[np.ndarray, dict]:
+                    tol: float = 1e-4,
+                    exact_sizes: bool = False) -> tuple[np.ndarray, dict]:
     """Distributed full-data Lloyd's k-means (spherical: cosine
     assignment, centroids re-normalized) — the iterative-algorithm
     pattern at scale.  Per iteration ONE streaming pass, NO shuffle:
@@ -119,10 +120,11 @@ def kmeans_fit_full(ds, *, vec_column: str = "embedding",
     C = _norm(np.asarray(C, dtype=np.float32))
     k, dim = C.shape
     shifts = []
+    # bound before the loop so n_iter=0 returns zeros instead of
+    # NameError (ADVICE r3)
+    agg_n = np.zeros(k, dtype=np.int64)
 
-    for it in range(n_iter):
-        c_ref = ray.put(C)
-
+    def _make_partial(c_ref):
         def _partial(batch: pa.Table) -> pa.Table:
             Cm = ray.get(c_ref)
             vecs = np.asarray(batch.column(vec_column).to_pylist(),
@@ -148,10 +150,12 @@ def kmeans_fit_full(ds, *, vec_column: str = "embedding",
                 "vsum": pa.ListArray.from_arrays(
                     offs, pa.array(sums.reshape(-1), pa.float64())),
                 "n": pa.array(counts)})
+        return _partial
 
+    def _reduce(partial_fn):
         agg_sum = np.zeros((k, dim), dtype=np.float64)
         agg_n = np.zeros(k, dtype=np.int64)
-        for b in ds.map_batches(_partial, batch_format="pyarrow") \
+        for b in ds.map_batches(partial_fn, batch_format="pyarrow") \
                    .iter_batches(batch_format="pyarrow"):
             cids = b.column("cid").to_numpy(zero_copy_only=False)
             vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.float64)
@@ -159,6 +163,10 @@ def kmeans_fit_full(ds, *, vec_column: str = "embedding",
             if len(cids):
                 np.add.at(agg_sum, cids, vs)
                 np.add.at(agg_n, cids, ns)
+        return agg_sum, agg_n
+
+    for it in range(n_iter):
+        agg_sum, agg_n = _reduce(_make_partial(ray.put(C)))
 
         newC = C.copy()
         nonempty = agg_n > 0
@@ -170,8 +178,16 @@ def kmeans_fit_full(ds, *, vec_column: str = "embedding",
         if shift < tol:
             break
 
+    if exact_sizes:
+        # one extra counting pass under the FINAL centroids; without it
+        # cluster_sizes lag one iteration (they are the assignment
+        # counts under the centroids that PRODUCED the returned C —
+        # ADVICE r3)
+        _, agg_n = _reduce(_make_partial(ray.put(C)))
+
     return C, {"iterations": len(shifts), "max_shift_per_iter": shifts,
-               "cluster_sizes": agg_n.tolist()}
+               "cluster_sizes": agg_n.tolist(),
+               "cluster_sizes_exact": bool(exact_sizes)}
 
 
 def assign_centroids(ds, centroids: np.ndarray, *,

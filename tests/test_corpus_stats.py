@@ -92,3 +92,19 @@ def test_top_ngrams_exact_and_partition_invariant():
         t = top_ngrams(_ds(blocks), "text", n=1, k=5)
         got = list(zip(t.column("ngram").to_pylist(), t.column("n").to_pylist()))
         assert got == brute(1, 5)
+
+
+def test_line_counts_null_text_rows():
+    """Null text rows must count as empty documents, not TypeError
+    (ADVICE r3: set(None) crashed the partial)."""
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": pa.array(["a\nb", None, "a"], pa.string())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = line_counts(ds, "text").to_pandas().set_index("line")
+    assert out.loc["a", "n_docs"] == 2
+    assert out.loc["b", "n_occurrences"] == 1
+
+    cleaned = (remove_frequent_lines(ds, "text", min_docs=2, stats=True)
+               .to_pandas().sort_values("doc_id"))
+    # "a" is frequent (2 docs); the null row becomes an empty doc
+    assert cleaned.text.tolist() == ["b", "", ""]

@@ -46,3 +46,24 @@ def test_write_jsonl_columns_subset(tmp_path):
     line = json.loads(open(os.path.join(
         out_dir, os.listdir(out_dir)[0])).read())
     assert line == {"a": 1, "b": "x"}
+
+
+def test_write_jsonl_rerun_replaces_not_accumulates(tmp_path):
+    """Deterministic content-hash shard names (ADVICE r3): a second
+    run into the same directory replaces the previous shards — the
+    reader must see exactly one copy of the data, and a stale shard
+    from a different earlier dataset must be cleared."""
+    out_dir = str(tmp_path / "rerun")
+    t1 = pa.table({"url": ["a"], "text": ["old data"]})
+    write_jsonl(ray.data.from_arrow(t1), out_dir)
+
+    t2 = pa.table({"url": ["b", "c"], "text": ["x", "y"]})
+    write_jsonl(ray.data.from_arrow(t2), out_dir)
+    write_jsonl(ray.data.from_arrow(t2), out_dir)  # identical re-run
+
+    back = read_jsonl_docs(out_dir).to_pandas()
+    assert sorted(back.url) == ["b", "c"]  # no dup, no stale "a"
+
+    import pytest
+    with pytest.raises(FileExistsError):
+        write_jsonl(ray.data.from_arrow(t2), out_dir, overwrite=False)

@@ -396,3 +396,52 @@ def test_range_join_timestamp_axis(ray_session):
     # window starts after it
     assert sorted(out.row.tolist()) == [0, 1]
     assert set(out.tag) == {"w1"}
+
+
+def test_kmeans_zero_iter_and_exact_sizes(ray_session):
+    """n_iter=0 returns the warm start without NameError, and
+    exact_sizes=True reports assignment counts under the FINAL
+    centroids (ADVICE r3: sizes lagged one iteration)."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import kmeans_fit_full
+
+    rng = np.random.default_rng(7)
+    X = np.concatenate([
+        [10, 0, 0] + rng.normal(0, 0.2, (40, 3)),
+        [0, 10, 0] + rng.normal(0, 0.2, (20, 3))]).astype(np.float32)
+    t = pa.table({"embedding": pa.array(
+        [list(map(float, v)) for v in X], pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(3)
+
+    C0, info0 = kmeans_fit_full(ds, n_centroids=2, n_iter=0, seed=7)
+    assert C0.shape == (2, 3)
+    assert info0["iterations"] == 0
+    assert info0["cluster_sizes"] == [0, 0]  # no pass ran
+    assert info0["cluster_sizes_exact"] is False
+
+    C, info = kmeans_fit_full(ds, n_centroids=2, n_iter=6, seed=7,
+                              exact_sizes=True)
+    assert info["cluster_sizes_exact"] is True
+    assert sorted(info["cluster_sizes"]) == [20, 40]
+
+
+def test_range_join_collision_raises(ray_session):
+    """A left column sharing a name with an interval start/end/value
+    column must raise instead of silently joining against the wrong
+    side (ADVICE r3)."""
+    import pytest
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import range_join
+
+    left = rd.from_arrow(pa.table({
+        "k": ["a"], "t": [5.0], "e": [99.0]}))  # "e" collides with end
+    iv = pa.table({"k": ["a"], "s": [0.0], "e": [10.0], "tag": ["x"]})
+
+    # the raise happens inside a Ray task -> surfaces as RayTaskError
+    with pytest.raises(Exception, match="collide"):
+        range_join(left, iv, "k", "t", "s", "e").to_pandas()
+    with pytest.raises(Exception, match="collide"):
+        range_join(left, iv, "k", "t", "s", "e", chunk=1.0,
+                   broadcast_limit=0).to_pandas()

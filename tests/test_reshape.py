@@ -167,3 +167,24 @@ def test_grouped_rank_descending():
     ref = df.groupby("k")["v"].rank(method="min",
                                     ascending=False).astype("int64")
     assert out.r.tolist() == ref.tolist()
+
+
+def test_grouped_rank_timestamp_value():
+    """Non-float value dtype: timestamp[us] crosses the fine-table
+    pandas hop as [ns]; without canonical casting every composite-key
+    lookup missed and ranks came back null (ADVICE r3)."""
+    from snorkel_ray.stages.reshape import grouped_rank
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00.000001", "2024-01-02", "2024-01-02",
+        "2024-01-03", "2024-02-01", "2024-01-15"], format="mixed")
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2,
+                       "id": range(6)})
+    t = pa.table({"k": pa.array(df.k), "id": pa.array(df.id),
+                  "v": pa.array(ts).cast(pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (grouped_rank(ds, "k", "v", out="r", dense_out="dr")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out.r.notna().all()
+    assert out.r.tolist() == [1, 2, 2, 4, 2, 1]
+    assert out.dr.tolist() == [1, 2, 2, 3, 2, 1]
