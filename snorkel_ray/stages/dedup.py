@@ -618,8 +618,9 @@ def minhash_dedup(ds, column: str, id_column: str, *, num_perm: int = 64,
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (deterministic; memoized word
-    hashes + one vectorized bit-unpack per sentence)."""
+    """64-bit SimHash over word features — scalar REFERENCE kernel
+    (deterministic; the hot path is :func:`simhash64_batch`, parity
+    with this function is pinned by test_simhash_batch_parity)."""
     words = _WORD_RE.findall(text.lower())
     if not words:
         return 0
@@ -630,10 +631,42 @@ def simhash64(text: str) -> int:
     return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
 
 
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized batch SimHash, parity-equal to :func:`simhash64` per
+    text (round-3 verdict item 3 — the per-row bit-string join was the
+    last per-row Python kernel in this file).  Same shape as the
+    MinHash path: tokenize everything, ONE ``pd.factorize`` over the
+    batch vocabulary, one blake2b per DISTINCT word, one (distinct ×
+    64) ±1 bit-unpack, then a single segmented ``np.add.reduceat`` over
+    per-doc word runs and a shift-sum bit pack.  Null/empty texts → 0
+    (the scalar kernel's empty-word result)."""
+    words_per = [_WORD_RE.findall(t.lower()) if t else [] for t in texts]
+    lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                       count=len(words_per))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if len(texts) == 0 or lens.sum() == 0:
+        return out
+    all_words = [w for ws in words_per for w in ws]
+    codes, uniques = pd.factorize(np.asarray(all_words, dtype=object))
+    uh = np.fromiter((_word_hash(w) for w in uniques), dtype=np.uint64,
+                     count=len(uniques))
+    pm = (((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+           & np.uint64(1)).astype(np.int8) * 2 - 1)  # (distinct, 64) ±1
+    nonempty = lens > 0
+    # start offset of each nonempty doc's word run; empty docs are
+    # zero-length so consecutive kept starts bound exactly one doc
+    starts = (np.cumsum(lens) - lens)[nonempty]
+    acc = np.add.reduceat(pm[codes], starts, axis=0, dtype=np.int64)
+    bits = (acc > 0).astype(np.uint64)
+    out[nonempty] = (bits << np.arange(64, dtype=np.uint64)[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def add_simhash(ds, column: str, out: str = "simhash"):
     def _sh(batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t) for t in batch.column(column).to_pylist()]
-        return batch.append_column(out, pa.array(np.asarray(vals, np.uint64), pa.uint64()))
+        vals = simhash64_batch(batch.column(column).to_pylist())
+        return batch.append_column(out, pa.array(vals, pa.uint64()))
 
     return ds.map_batches(_sh, batch_format="pyarrow")
 

@@ -103,37 +103,134 @@ def fingerprint64(text: str, window: int = 8) -> int:
     return _fingerprint_from_words(_WORD_RE.findall(text.lower()), window)
 
 
+# exactly the chars the scalar kernel counts: (not isalnum and not
+# isspace) — CPython's \w is isalnum|underscore and \s is isspace, so
+# [^\w\s] plus underscore is the identical class, evaluated in one C
+# regex scan instead of a per-char Python loop
+_PUNCT_RE = re.compile(r"[^\w\s]|_", re.UNICODE)
+_CJK_RE = re.compile("[一-鿿]")
+_LANG_NAMES = list(_LANG_MARKERS)
+
+
+def analyze_batch(texts: list) -> dict[str, np.ndarray]:
+    """Vectorized batch analyzer, parity-equal per text to the scalar
+    kernels above (round-3 verdict item 5 — the per-row loop paid a
+    Python dict lookup per word occurrence).  ONE tokenization per doc
+    shared by every feature family, ONE ``pd.factorize`` over the batch
+    vocabulary, per-DISTINCT-word stopword/length/hash lookups, then
+    segmented ``np.add.reduceat`` per-doc sums.  Null texts behave as
+    empty strings."""
+    import pandas as pd
+
+    from .dedup import _combine_shingles, _word_hash
+
+    n_docs = len(texts)
+    raw = [t or "" for t in texts]
+    lowered = [t.lower() for t in raw]
+    words_per = [_WORD_RE.findall(tl) for tl in lowered]
+    lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                       count=n_docs)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    ne = lens > 0
+    total = int(lens.sum())
+
+    stop_cnt = np.zeros(n_docs, np.int64)
+    len_sum = np.zeros(n_docs, np.int64)
+    fps = np.zeros(n_docs, np.uint64)
+    if total:
+        all_words = [w for ws in words_per for w in ws]
+        codes, uniques = pd.factorize(np.asarray(all_words, dtype=object))
+        u_stop = np.fromiter((w in _STOPWORDS_EN for w in uniques),
+                             dtype=np.int64, count=len(uniques))
+        u_len = np.fromiter((len(w) for w in uniques), dtype=np.int64,
+                            count=len(uniques))
+        u_hash = np.fromiter((_word_hash(w) for w in uniques),
+                             dtype=np.uint64, count=len(uniques))
+        starts = offs[:-1][ne]
+        stop_cnt[ne] = np.add.reduceat(u_stop[codes], starts)
+        len_sum[ne] = np.add.reduceat(u_len[codes], starts)
+        flat_hash = u_hash[codes]
+        for i in np.flatnonzero(ne):
+            fps[i] = _combine_shingles(
+                flat_hash[offs[i]:offs[i + 1]], 8).min()
+
+    nf = np.maximum(lens.astype(np.float64), 1.0)
+    stop = np.where(ne, stop_cnt / nf, 0.0)
+    mwl = np.where(ne, len_sum / nf, 0.0)
+    # scalar kernel returns all-zero features (incl. punct) for
+    # zero-word texts, so mask the punct scan the same way
+    punct = np.fromiter(
+        (len(_PUNCT_RE.findall(t)) / max(len(t), 1) if w else 0.0
+         for t, w in zip(raw, ne)),
+        dtype=np.float64, count=n_docs)
+    score = np.where(ne, np.clip(
+        0.5 * np.minimum(stop / 0.3, 1.0)
+        + 0.3 * (1.0 - np.minimum(punct / 0.2, 1.0))
+        + 0.2 * ((mwl >= 3.0) & (mwl <= 8.0)), 0.0, 1.0), 0.0)
+
+    # --- lang-id over the first-2000-LOWERED-chars token stream (the
+    # scalar kernel lowercases the full text before slicing; reuse the
+    # full tokenization when no truncation happened)
+    lang_words = [words_per[i] if len(lowered[i]) <= 2000
+                  else _WORD_RE.findall(lowered[i][:2000])
+                  for i in range(n_docs)]
+    llens = np.fromiter((len(w) for w in lang_words), dtype=np.int64,
+                        count=n_docs)
+    lne = llens > 0
+    marker_counts = np.zeros((n_docs, len(_LANG_NAMES)), np.int64)
+    if int(llens.sum()):
+        lflat = [w for ws in lang_words for w in ws]
+        lcodes, luniq = pd.factorize(np.asarray(lflat, dtype=object))
+        umark = np.stack(
+            [np.fromiter((w in _LANG_MARKERS[lg] for w in luniq),
+                         dtype=np.int64, count=len(luniq))
+             for lg in _LANG_NAMES], axis=1)  # (distinct, n_langs)
+        loffs = np.concatenate([[0], np.cumsum(llens)])
+        marker_counts[lne] = np.add.reduceat(
+            umark[lcodes], loffs[:-1][lne], axis=0)
+    best_idx = marker_counts.argmax(axis=1)  # first max = dict order
+    best_n = marker_counts.max(axis=1)
+    thresh = np.maximum(1, llens // 50)
+    langs = np.where(best_n >= thresh,
+                     np.asarray(_LANG_NAMES, dtype=object)[best_idx],
+                     "und")
+    cjk = np.fromiter((_CJK_RE.search(t[:200]) is not None for t in raw),
+                      dtype=bool, count=n_docs)
+    langs[cjk] = "zh"
+
+    return {
+        "lang_pred": langs,
+        "stopword_ratio": stop,
+        "punct_ratio": punct,
+        "mean_word_len": mwl,
+        "n_words": lens,
+        "quality": score,
+        "ws_tokens": np.fromiter((len(t.split()) for t in raw),
+                                 dtype=np.int64, count=n_docs),
+        "bpe_tokens": np.fromiter((len(_BPE_RE.findall(t)) for t in raw),
+                                  dtype=np.int64, count=n_docs),
+        "fingerprint": fps,
+    }
+
+
 class TextAnalyzer:
     """Actor-pool stage appending lang_pred / quality / token counts /
-    fingerprint columns to any table with ``text``."""
+    fingerprint columns to any table with ``text`` (vectorized batch
+    kernel; see :func:`analyze_batch`)."""
 
     def __init__(self, column: str = "text"):
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column).to_pylist()
-        langs, stops, puncts, mwls, n_words, scores, ws_toks, bpe_toks, fps = \
-            [], [], [], [], [], [], [], [], []
-        for t in texts:
-            langs.append(detect_lang(t))
-            words = _WORD_RE.findall(t.lower())  # shared tokenization:
-            s, p, m, n, sc = _quality_from_words(t, words)  # quality +
-            fps.append(_fingerprint_from_words(words, 8))   # fingerprint
-            stops.append(s); puncts.append(p); mwls.append(m)
-            n_words.append(n); scores.append(sc)
-            w, b = count_tokens(t)
-            ws_toks.append(w); bpe_toks.append(b)
-        return (
-            batch.append_column("lang_pred", pa.array(langs, pa.string()))
-            .append_column("stopword_ratio", pa.array(stops, pa.float64()))
-            .append_column("punct_ratio", pa.array(puncts, pa.float64()))
-            .append_column("mean_word_len", pa.array(mwls, pa.float64()))
-            .append_column("n_words", pa.array(n_words, pa.int64()))
-            .append_column("quality", pa.array(scores, pa.float64()))
-            .append_column("ws_tokens", pa.array(ws_toks, pa.int64()))
-            .append_column("bpe_tokens", pa.array(bpe_toks, pa.int64()))
-            .append_column("fingerprint", pa.array(np.asarray(fps, np.uint64), pa.uint64()))
-        )
+        feats = analyze_batch(batch.column(self.column).to_pylist())
+        out = batch
+        for name, arr in feats.items():
+            typ = (pa.string() if arr.dtype == object
+                   else pa.uint64() if arr.dtype == np.uint64
+                   else pa.int64() if arr.dtype == np.int64
+                   else pa.float64())
+            out = out.append_column(name, pa.array(arr, typ))
+        return out
 
 
 _ANALYZER_CACHE: dict = {}

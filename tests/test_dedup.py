@@ -220,3 +220,23 @@ def test_exact_dedup_no_keep_key(ray_session):
     out = exact_dedup(rd.from_items(rows).repartition(3),
                       "text").to_pandas()
     assert sorted(out.text.tolist()) == ["t0", "t1", "t2"]
+
+
+def test_simhash_batch_parity():
+    """simhash64_batch must equal the scalar reference per text, with
+    hypothesis-grade corner cases: empty, None, punctuation-only,
+    repeated words, unicode, single word, long docs."""
+    from snorkel_ray.stages.dedup import simhash64, simhash64_batch
+
+    texts = [
+        "", None, "!!! ???", "word", "word word word",
+        "the quick brown fox jumps over the lazy dog",
+        "The QUICK brown FOX", "naïve café résumé déjà vu",
+        " ".join(f"tok{i % 37}" for i in range(500)),
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    got = simhash64_batch(texts)
+    want = [0 if t is None else simhash64(t) for t in texts]
+    assert got.tolist() == want
+    assert simhash64_batch([]).tolist() == []
+    assert simhash64_batch(["", None]).tolist() == [0, 0]

@@ -445,3 +445,40 @@ def test_range_join_collision_raises(ray_session):
     with pytest.raises(Exception, match="collide"):
         range_join(left, iv, "k", "t", "s", "e", chunk=1.0,
                    broadcast_limit=0).to_pandas()
+
+
+def test_analyze_batch_parity_with_scalar_kernels():
+    """The vectorized batch analyzer must emit exactly the scalar
+    reference values for every column and every corner-case text."""
+    from snorkel_ray.stages.text_analysis import (
+        analyze_batch,
+        count_tokens,
+        detect_lang,
+        fingerprint64,
+        quality_features,
+    )
+
+    texts = [
+        "", None, "!!! ??? ***", "word",
+        "The cat sat on the mat with a hat.",
+        "der Hund und die Katze sind in dem Haus",
+        "el perro y el gato en la casa",
+        "中文文本测试 plus some english the and of",
+        "under_score text_with punct; naïve café",
+        " ".join(f"w{i % 13}" for i in range(300)),
+        "x " * 1500 + "le la les de et un une est dans pour",  # >2000 chars
+    ]
+    got = analyze_batch(texts)
+    for i, t in enumerate(texts):
+        s = t or ""
+        stop, punct, mwl, n, score = quality_features(s)
+        ws, bpe = count_tokens(s)
+        assert got["lang_pred"][i] == detect_lang(s), (i, t)
+        assert got["stopword_ratio"][i] == stop
+        assert got["punct_ratio"][i] == punct
+        assert got["mean_word_len"][i] == mwl
+        assert got["n_words"][i] == n
+        assert got["quality"][i] == score
+        assert got["ws_tokens"][i] == ws
+        assert got["bpe_tokens"][i] == bpe
+        assert int(got["fingerprint"][i]) == fingerprint64(s)
