@@ -86,7 +86,7 @@ def semi_join(ds, keys, key_col: str, keys_col: str | None = None, *,
 
 def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
               rename: dict[str, str] | None = None,
-              pre_split_chunk: str | None = None):
+              pre_split_chunk: str | None = "auto"):
     """Backward as-of join: attach to every left row the right row with
     the greatest ``ts`` ≤ the left row's ``ts`` within the same
     ``key`` (DuckDB ``ASOF LEFT JOIN`` semantics — the standard
@@ -111,6 +111,12 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
     within-chunk match joins the latest right row of any earlier
     chunk, which is by construction that chunk's summary row."""
     import pyarrow.compute as pc
+
+    from .windows import _resolve_chunk
+
+    # probe the LEFT (big) side only; a hot key on the small right
+    # side alone cannot blow a reducer
+    pre_split_chunk = _resolve_chunk(left, key, ts, pre_split_chunk)
 
     rename = rename or {c: c for c in value_cols}
     out_cols = [rename[c] for c in value_cols]

@@ -33,6 +33,19 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _resolve_chunk(events, key: str, ts: str, pre_split_chunk,
+                   *, min_width: pd.Timedelta | None = None):
+    """``"auto"`` (the default everywhere in this family, round-3
+    verdict item 2) probes for hot keys and returns a chunk width only
+    when one exists; explicit ``None`` forces the single-group plan,
+    an explicit width forces the two-level plan."""
+    if pre_split_chunk == "auto":
+        from .skew import auto_pre_split_chunk
+
+        return auto_pre_split_chunk(events, key, ts, min_width=min_width)
+    return pre_split_chunk
+
+
 def tumbling_window_counts(events, *, key: str = "user_id", ts: str = "ts",
                            value: str = "value", width: str = "1D"):
     """Per-key tumbling windows → (key, window_start, n_events,
@@ -59,7 +72,8 @@ def tumbling_window_counts(events, *, key: str = "user_id", ts: str = "ts",
 
 
 def session_windows(events, *, key: str = "user_id", ts: str = "ts",
-                    gap: str = "30min", pre_split_chunk: str | None = None):
+                    gap: str = "30min",
+                    pre_split_chunk: str | None = "auto"):
     """Sessionize per key: a new session starts when the gap since the
     previous event exceeds ``gap`` → (key, session_start, session_end,
     n_events).
@@ -70,6 +84,8 @@ def session_windows(events, *, key: str = "user_id", ts: str = "ts",
     sessionize, then a per-key merge over the much smaller session
     table."""
     delta = pd.Timedelta(gap)
+    pre_split_chunk = _resolve_chunk(events, key, ts, pre_split_chunk,
+                                     min_width=2 * delta)
 
     def _sess(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts)
@@ -113,7 +129,8 @@ def session_windows(events, *, key: str = "user_id", ts: str = "ts",
 
 def lag_column(events, *, key: str = "user_id", ts: str = "ts",
                value: str = "value", n: int = 1, out: str | None = None,
-               lead: bool = False, pre_split_chunk: str | None = None):
+               lead: bool = False,
+               pre_split_chunk: str | None = "auto"):
     """Per-key LAG/LEAD: attach each row's value from ``n`` events
     earlier (``lead=True``: later) in (ts, event_id) order — SQL
     ``LAG(value, n) OVER (PARTITION BY key ORDER BY ts)``.  Null where
@@ -127,6 +144,7 @@ def lag_column(events, *, key: str = "user_id", ts: str = "ts",
     touches only O(#chunks × n) rows."""
     out = out or (f"lead_{value}" if lead else f"lag_{value}")
     shift = -n if lead else n
+    pre_split_chunk = _resolve_chunk(events, key, ts, pre_split_chunk)
 
     def _order_cols(g):
         return [ts] + (["event_id"] if "event_id" in g.columns else [])
@@ -194,7 +212,7 @@ def lag_column(events, *, key: str = "user_id", ts: str = "ts",
 
 def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
                         value: str = "value", window: int = 3,
-                        pre_split_chunk: str | None = None):
+                        pre_split_chunk: str | None = "auto"):
     """Per-key trailing N-event rolling mean (order: ts, then event_id
     if present — deterministic) → original rows + ``rolling_mean``.
 
@@ -219,6 +237,8 @@ def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
     impostor between them (any event time-between two of the last
     window−1 events IS one of them).
     """
+
+    pre_split_chunk = _resolve_chunk(events, key, ts, pre_split_chunk)
 
     def _roll(g: pd.DataFrame) -> pd.DataFrame:
         order = [ts] + (["event_id"] if "event_id" in g.columns else [])
@@ -282,7 +302,7 @@ def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
 
 def cumulative_sum(events, *, key: str = "user_id", ts: str = "ts",
                    value: str = "value", out: str = "cum_value",
-                   pre_split_chunk: str | None = None):
+                   pre_split_chunk: str | None = "auto"):
     """Per-key running total in (ts, event_id) order — SQL
     ``SUM(value) OVER (PARTITION BY key ORDER BY ts)``.
 
@@ -304,6 +324,8 @@ def cumulative_sum(events, *, key: str = "user_id", ts: str = "ts",
     carry is added as one term instead of element-wise); within a
     chunk the accumulation order matches the single-group path.
     """
+
+    pre_split_chunk = _resolve_chunk(events, key, ts, pre_split_chunk)
 
     def _order_cols(g):
         return [ts] + (["event_id"] if "event_id" in g.columns else [])

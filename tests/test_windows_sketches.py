@@ -448,3 +448,87 @@ def test_space_saving_exact_and_approx(ray_session):
         b.update(int(v))
     m = a.merge(b)
     assert m.topk(1)[0][0] == 7
+
+
+def test_hot_key_auto_routes_to_chunked_plan():
+    """Round-3 verdict item 2: a plain (default) call on a corpus where
+    one key dominates must pick the two-level plan automatically — and
+    produce exactly the single-group plan's results."""
+    import pandas as pd
+    import ray
+
+    from snorkel_ray.stages.skew import auto_pre_split_chunk
+    from snorkel_ray.stages.windows import (
+        cumulative_sum,
+        lag_column,
+        session_windows,
+        sliding_window_mean,
+    )
+
+    rng = np.random.default_rng(31)
+    n_hot, n_cold = 4000, 400
+    ts = (pd.Timestamp("2024-03-01")
+          + pd.to_timedelta(np.sort(rng.integers(0, 3_000_000, n_hot)), unit="s"))
+    cold_ts = (pd.Timestamp("2024-03-01")
+               + pd.to_timedelta(rng.integers(0, 3_000_000, n_cold), unit="s"))
+    df = pd.DataFrame({
+        "user_id": ["celebrity"] * n_hot + [f"u{i % 40}" for i in range(n_cold)],
+        "ts": list(ts) + list(cold_ts),
+        "event_id": np.arange(n_hot + n_cold),
+        "value": rng.normal(0, 1, n_hot + n_cold),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    # the probe must fire: one key owns >90% of rows
+    width = auto_pre_split_chunk(ds, "user_id", "ts")
+    assert width is not None
+
+    for plain_fn, kw in [
+        (sliding_window_mean, dict(window=4)),
+        (lag_column, dict(n=2)),
+        (cumulative_sum, {}),
+        (session_windows, dict(gap="30min")),
+    ]:
+        auto = plain_fn(ds, **kw).to_pandas()
+        single = plain_fn(ds, pre_split_chunk=None, **kw).to_pandas()
+        sort_cols = [c for c in ("user_id", "ts", "event_id",
+                                 "session_start") if c in auto.columns]
+        a = auto.sort_values(sort_cols).reset_index(drop=True)
+        s = single.sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], s[sorted(s.columns)],
+            check_like=True, check_dtype=False,
+            atol=1e-9, rtol=1e-9)
+
+
+def test_asof_auto_hot_key_parity():
+    import pandas as pd
+    import ray
+
+    from snorkel_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    left = pd.DataFrame({
+        "user_id": ["hot"] * n,
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(np.sort(rng.integers(0, 10_000_000, n)), unit="s")),
+        "event_id": np.arange(n),
+    })
+    right = pd.DataFrame({
+        "user_id": ["hot"] * 50,
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(np.sort(rng.choice(10_000_000, 50, replace=False)), unit="s")),
+        "price": rng.normal(100, 5, 50),
+    })
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right)
+
+    auto = (asof_join(lds, rds, "user_id", "ts", ["price"])
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    single = (asof_join(lds, rds, "user_id", "ts", ["price"],
+                        pre_split_chunk=None)
+              .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto[sorted(auto.columns)],
+                                  single[sorted(single.columns)],
+                                  check_like=True, check_dtype=False)
