@@ -86,10 +86,14 @@ def entry() -> Any:
 # queries / oracle_sql — one entry per operator family
 # ===========================================================================
 
-def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    """Column-pruned (and optionally predicate-pushdown) parquet read;
+    ``filter`` is a pyarrow.dataset expression applied inside the scan
+    (see sources/readers.py::read_parquet_pruned)."""
+    from snorkel_ray.sources.readers import read_parquet_pruned
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_pruned(f"{sf_dir}/{table}.parquet",
+                               columns=columns, filter=filter)
 
 
 # --- aggregations -----------------------------------------------------------
@@ -245,10 +249,10 @@ def q_broadcast_join_nation_region(sf_dir: str):
 def q_filter_long_docs(sf_dir: str):
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    filtered = ds.map_batches(
-        lambda b: b.filter(pc.greater(b.column("n_chars"), 300)),
-        batch_format="pyarrow")
+    import pyarrow.dataset as pds
+
+    filtered = _read(sf_dir, "documents", ["source", "n_chars"],
+                     filter=pds.field("n_chars") > 300)
     return filtered.groupby("source").aggregate(Count(alias_name="n_long")).sort("source")
 
 
@@ -472,21 +476,17 @@ def q_tpch_q3(sf_dir: str):
 
     from snorkel_ray.stages.joins import semi_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(lambda b: b.filter(
-            pc.equal(b.column("c_mktsegment"), "BUILDING")),
-            batch_format="pyarrow")
+    import pyarrow.dataset as pds
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 filter=pds.field("c_mktsegment") == "BUILDING")
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(lambda b: b.filter(
-            pc.less(b.column("o_orderdate"),
-                    pa.scalar(np.datetime64("1998-01-01", "us")))),
-            batch_format="pyarrow")
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=pds.field("o_orderdate")
+                   < np.datetime64("1998-01-01", "us"))
     orders = semi_join(orders, cust, "o_custkey", "c_custkey")
 
     def _rev_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b.column("l_shipdate"),
-                                pa.scalar(np.datetime64("1998-01-01", "us"))))
         import pandas as pd
 
         rev = (np.asarray(b.column("l_extendedprice"))
@@ -497,7 +497,9 @@ def q_tpch_q3(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               filter=pds.field("l_shipdate")
+               > np.datetime64("1998-01-01", "us")) \
         .map_batches(_rev_partial, batch_format="pyarrow")
     joined = li.join(orders.select_columns(["o_orderkey", "o_orderdate"]),
                      join_type="inner", num_partitions=8,
@@ -534,18 +536,16 @@ def q_tpch_q5(sf_dir: str):
     nname = dict(zip(nation.column("n_nationkey").to_pylist(),
                      nation.column("n_name").to_pylist()))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .map_batches(lambda b: b.filter(pc.is_in(
-            b.column("c_nationkey"), value_set=pa.array(sorted(asia_nations)))),
-            batch_format="pyarrow")
+    import pyarrow.dataset as pds
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 filter=pds.field("c_nationkey").isin(sorted(asia_nations)))
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(lambda b: b.filter(pc.and_(
-            pc.greater_equal(b.column("o_orderdate"),
-                             pa.scalar(np.datetime64("1996-01-01", "us"))),
-            pc.less(b.column("o_orderdate"),
-                    pa.scalar(np.datetime64("1997-01-01", "us"))))),
-            batch_format="pyarrow")
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pds.field("o_orderdate")
+                           >= np.datetime64("1996-01-01", "us"))
+                   & (pds.field("o_orderdate")
+                      < np.datetime64("1997-01-01", "us")))
     orders = apply_mapping(orders, cust, "o_custkey", "c_custkey",
                            "c_nationkey", "c_nationkey")
     orders = orders.map_batches(lambda b: b.filter(

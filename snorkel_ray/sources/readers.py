@@ -232,3 +232,18 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
 
     # consume the manifest so the write executes; return it for audit
     return ds.map_batches(_write, batch_format="pyarrow").materialize()
+
+
+def read_parquet_pruned(path: str | list[str], *, columns: list[str] | None = None,
+                        filter=None, **kwargs):
+    """Column- AND predicate-pruned parquet read (round-3 verdict item
+    6 — selective WHERE clauses used to run in ``map_batches`` after
+    the read).  ``filter`` is a ``pyarrow.dataset`` expression (e.g.
+    ``pyarrow.dataset.field("n_chars") > 300``) evaluated INSIDE the
+    scan: row groups whose min/max statistics exclude the predicate
+    are skipped entirely and non-matching rows never leave storage —
+    at 100 TB a date-range filter this way reads a fraction of the
+    bytes the post-read filter pays for."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, filter=filter, **kwargs)

