@@ -278,3 +278,88 @@ def run_kg_pipeline_sharded(
     triples = materialize_triples(linked, threshold=threshold,
                                   out_dir=os.path.join(root, "triples"))
     return triples, {"model": model, "shards": manifests}
+
+
+def run_minhash_dedup_sharded(
+    pages,
+    root: str,
+    *,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_shards: int = 4,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 17,
+    input_fingerprint: str = "pages",
+    input_paths: list[str] | None = None,
+    pin_exploded: bool = True,
+):
+    """Shard-resumable near-dedup (round-3 verdict item 8 — at 100 TB
+    dedup must resume like the flagship already does).
+
+    Per shard (skip-on-manifest-match via :func:`run_sharded_stage`):
+    MinHash signatures only → ``minhash_sigs/shard=i/`` parquet of
+    ``(id, sig)`` — num_perm × 8 bytes per doc, ≪ the corpus, and the
+    expensive shingling never re-runs for finished shards.  Global:
+    ONE banding pass over the persisted signatures (band-bucket
+    groupby → anchor pairs), Jaccard verification against the
+    original corpus, connected components, cluster map — exactly
+    :func:`stages.dedup.minhash_dedup` fed with precomputed ``sigs``,
+    so sharded == streaming by construction (pinned by
+    test_sharded_minhash_equals_streaming).
+
+    → (clusters Dataset ``(id, cluster)``, per-shard manifests)."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_dedup, minhash_signatures
+
+    def build(shard_ds):
+        return minhash_signatures(shard_ds, column, id_column,
+                                  num_perm=num_perm, shingle_k=shingle_k,
+                                  seed=seed)
+
+    if input_paths is not None:
+        from pyarrow.fs import LocalFileSystem
+
+        groups = shard_paths(input_paths, num_shards)
+        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem(),
+                                      columns=[id_column, column]),
+                   shard_input_token(g))
+                  for i, g in enumerate(groups)]
+    else:
+        # hash-shard on the dedup id (the generic fallback in
+        # shard_pages assumes a url column); full re-scan per shard —
+        # prefer input_paths at scale
+        def _filter(s: int):
+            def _f(b: pa.Table) -> pa.Table:
+                import numpy as np
+
+                ids = b.column(id_column).to_pylist()
+                keep = np.fromiter(
+                    ((hash64(str(u)) % num_shards) == s for u in ids),
+                    dtype=bool, count=len(ids))
+                return b.filter(pa.array(keep))
+
+            return _f
+
+        shards = [(s, pages.map_batches(_filter(s), batch_format="pyarrow"))
+                  for s in range(num_shards)]
+
+    dirs, manifests = run_sharded_stage(
+        pages, root, "minhash_sigs", build, num_shards=num_shards,
+        params={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed,
+                "column": column, "id_column": id_column},
+        input_fingerprint=input_fingerprint, shards=shards)
+
+    from pyarrow.fs import LocalFileSystem
+
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    sigs = rd.read_parquet(files, filesystem=LocalFileSystem())
+    clusters = minhash_dedup(pages, column, id_column, num_perm=num_perm,
+                             shingle_k=shingle_k, bands=bands,
+                             threshold=threshold, seed=seed,
+                             pin_exploded=pin_exploded, sigs=sigs)
+    return clusters, manifests

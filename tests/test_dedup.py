@@ -240,3 +240,15 @@ def test_simhash_batch_parity():
     assert got.tolist() == want
     assert simhash64_batch([]).tolist() == []
     assert simhash64_batch(["", None]).tolist() == [0, 0]
+
+
+def test_lsh_pin_exploded_parity(dup_docs):
+    """pin_exploded=False recomputes the banding chain instead of
+    materializing ndocs x bands rows; the clusters must be identical."""
+    from snorkel_ray.stages.dedup import minhash_dedup
+
+    a = (minhash_dedup(dup_docs, "text", "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (minhash_dedup(dup_docs, "text", "doc_id", pin_exploded=False)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
