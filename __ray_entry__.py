@@ -1500,6 +1500,27 @@ def q_minhash_dedup_clusters(sf_dir: str):
     return minhash_dedup(ds, "text", "doc_id", num_perm=32, bands=8, threshold=0.7)
 
 
+def q_minhash_dedup_sharded(sf_dir: str):
+    """Shard-resumable near-dedup: per-shard signature persistence +
+    one global banding pass (rows-only; must yield the same cluster
+    GROUPING as the streaming plan — pinned by pytest; here the driver
+    checks the row contract).  Output sorted by doc_id so the row
+    stream is deterministic."""
+    import shutil
+    import tempfile
+
+    from snorkel_ray.state.sharded import run_minhash_dedup_sharded
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="graft_dedup_sharded_")
+    try:
+        clusters, _ = run_minhash_dedup_sharded(
+            ds, root, num_shards=4, num_perm=32, bands=8, threshold=0.7)
+        return clusters.sort("doc_id").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_simhash_fingerprints(sf_dir: str):
     from snorkel_ray.stages.dedup import add_simhash
 
@@ -1714,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "minhash_dedup_sharded": q_minhash_dedup_sharded,
         "text_analysis": q_text_analysis,
         "ivf_topk": q_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,

@@ -29,6 +29,33 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _calibration_sec(repeats: int = 3) -> dict:
+    """Fixed single-threaded numpy workload (sort + elementwise over
+    2M float64, deterministic) timed alongside every bench: a
+    box-speed control (round-3 verdict item 7).  This VM drifts ~25%
+    across the day (BASELINE.md); when a scaling sample dips, compare
+    the legs' calib times — a slow calib means the BOX slowed, not the
+    code — instead of re-running an old commit by hand.  Single
+    threaded on purpose so the number is independent of the leg's CPU
+    budget; median reflects sustained contention, min the quietest
+    slice."""
+    import numpy as np
+
+    def _one() -> float:
+        rng = np.random.default_rng(0)
+        x = rng.random(2_000_000)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            y = np.sort(x)
+            x = (x * 1.0000001 + y[::-1] * 0.5) % 1.0
+        return time.perf_counter() - t0
+
+    _one()  # untimed warmup (first pass pays allocator/cache setup)
+    times = sorted(_one() for _ in range(repeats))
+    return {"calib_sec": round(times[len(times) // 2], 3),
+            "calib_sec_min": round(times[0], 3)}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -130,6 +157,7 @@ def run_bench() -> dict:
         "bench_pages": BENCH_PAGES,
         "triples": n_triples,
         "pages_per_sec": round(BENCH_PAGES / headline_sec, 1),
+        **_calibration_sec(),
     }
     ray.shutdown()
     return out
@@ -161,7 +189,13 @@ def run_scaling() -> dict:
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
+    # drift control (round-3 verdict item 7): each leg carries its own
+    # single-threaded calibration time; BASELINE.md records the
+    # quiet-box reference.  calib_drift >> 1 on either leg = the box
+    # slowed (hypervisor/bandwidth contention) — adjudicate a sub-0.8
+    # sample against that, not against the code.
+    calib_ref = float(os.environ.get("GRAFT_CALIB_REF_SEC", "0") or 0)
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -172,7 +206,16 @@ def run_scaling() -> dict:
         f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
         f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
         "bench_pages": r_lo["bench_pages"],
+        f"calib_sec_{lo}": r_lo.get("calib_sec"),
+        f"calib_sec_{hi}": r_hi.get("calib_sec"),
+        f"loadavg_{lo}": r_lo["queries"].get("loadavg_per_run"),
+        f"loadavg_{hi}": r_hi["queries"].get("loadavg_per_run"),
     }
+    if calib_ref > 0:
+        out["calib_ref_sec"] = calib_ref
+        out["calib_drift_lo"] = round(r_lo.get("calib_sec", 0) / calib_ref, 3)
+        out["calib_drift_hi"] = round(r_hi.get("calib_sec", 0) / calib_ref, 3)
+    return out
 
 
 if __name__ == "__main__":
