@@ -1257,6 +1257,29 @@ def q_order_price_quantiles(sf_dir: str):
             .sort("o_orderpriority"))
 
 
+def q_order_price_quartiles(sf_dir: str):
+    """Exact per-priority price quartiles via the fine-table plan (no
+    full-group sort; hot key costs its distinct values).  Oracle:
+    DuckDB ``quantile_cont`` — identical 'linear' interpolation."""
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.reshape import grouped_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles(ds, "o_orderpriority", "o_totalprice",
+                            [0.25, 0.5, 0.75])
+
+    def _round(b: pa.Table) -> pa.Table:
+        for c in ("q25", "q50", "q75"):
+            i = b.schema.get_field_index(c)
+            vals = [None if v is None else duck_round(v, 2)
+                    for v in b.column(c).to_pylist()]
+            b = b.set_column(i, c, pa.array(vals, pa.float64()))
+        return b
+
+    return (out.map_batches(_round, batch_format="pyarrow")
+            .sort("o_orderpriority"))
+
+
 def q_approx_price_quantiles(sf_dir: str):
     """Mergeable KLL quantile sketch over order prices (rows-only:
     approximate by construction; <1% rank error unit-tested).  The
@@ -1574,6 +1597,18 @@ def q_embedding_near_dup(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort(["a", "b"])
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style kmeans-partitioned embedding dedup (rows-only:
+    one row per vector with centroid / representative / keep flag)."""
+    from snorkel_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # threshold tuned to the synthetic table's cosine range (max pair
+    # cosine ~0.51) so the collapse path actually fires
+    return (semantic_dedup(ds, n_centroids=8, threshold=0.5, seed=11)
+            .sort("vec_id"))
+
+
 def q_multimodal_pipeline(sf_dir: str):
     """Multimodal plumbing over opaque binary payloads (rows-only: the
     decode itself is the documented deterministic fake — no image libs
@@ -1727,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottom_k_sample_orders": q_bottom_k_sample_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_daily_counts": q_events_daily_counts,
+        "order_price_quartiles": q_order_price_quartiles,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -1740,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
 
@@ -2102,6 +2139,13 @@ def oracle_sql() -> dict[str, str]:
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id""",
+        "order_price_quartiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 2) AS q25,
+                   round(quantile_cont(o_totalprice, 0.50), 2) AS q50,
+                   round(quantile_cont(o_totalprice, 0.75), 2) AS q75
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
         "order_price_quantiles": """
             SELECT o_orderpriority,
                    round(median(o_totalprice), 2) AS median_price

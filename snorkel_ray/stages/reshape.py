@@ -328,3 +328,52 @@ def grouped_argmax(ds, key: str, order_cols: list[str], *,
 
     return grouped_topk(ds, key, order_cols,
                         descending=descending, k=1)
+
+
+def grouped_quantiles(ds, key: str, value: str, qs: list[float], *,
+                      out_names: list[str] | None = None):
+    """Exact per-key ``quantile_cont`` (linear interpolation, SQL /
+    numpy 'linear' definition) WITHOUT sorting any full group — the
+    same fine-table trick as :func:`grouped_rank`:
+
+    1. per-batch (key, value) count partials → ``groupby(key,
+       value).sum`` — one row per DISTINCT pair;
+    2. per-key interpolation over the fine table's cumulative counts
+       (value at 0-based rank r = first fine row whose running count
+       exceeds r, via ``searchsorted``) — a hot key costs O(its
+       distinct values), never its row count.
+
+    → Dataset (key, one float64 column per requested quantile)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    out_names = out_names or [f"q{int(round(q * 100))}" for q in qs]
+    if len(out_names) != len(qs):
+        raise ValueError("out_names must match qs")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = (b.select([key, value]).to_pandas()
+              .groupby([key, value], sort=False, dropna=False)
+              .size().reset_index(name="_c"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fine = (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby([key, value]).aggregate(Sum("_c", alias_name="_n")))
+
+    def _quant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, kind="mergesort")
+        vals = g[value].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["_n"].to_numpy())
+        n = int(cum[-1])
+        row = {key: [g[key].iloc[0]]}
+        for q, name in zip(qs, out_names):
+            pos = q * (n - 1)
+            i = int(np.floor(pos))
+            frac = pos - i
+            lo = vals[np.searchsorted(cum, i, side="right")]
+            hi = vals[np.searchsorted(cum, min(i + 1, n - 1), side="right")]
+            row[name] = [lo + (hi - lo) * frac]
+        return pd.DataFrame(row)
+
+    return fine.groupby(key).map_groups(_quant, batch_format="pandas")

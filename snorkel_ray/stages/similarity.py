@@ -324,3 +324,72 @@ def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, *,
         return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
 
     return partial.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+
+
+def semantic_dedup(ds, *, vec_column: str = "embedding",
+                   id_column: str = "vec_id", n_centroids: int = 16,
+                   threshold: float = 0.95, seed: int = 11,
+                   n_iter: int = 3):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means partitions the
+    embedding space so the quadratic cosine check only ever runs
+    WITHIN a cluster, never across the corpus.
+
+    1. centroids: sampled warm start + ``n_iter`` full streaming Lloyd
+       passes (one corpus pass each, per-batch k-row combiner);
+    2. one streaming ``assign_centroids`` pass appends ``centroid_id``;
+    3. per-centroid bounded group (`groupby.map_groups` — pick
+       ``n_centroids ≈ n/5000`` at scale so a group fits a reducer):
+       pairwise cosine ≥ ``threshold`` edges → within-cluster connected
+       components → deterministic representative = MIN id.
+
+    → Dataset ``(id, centroid_id, rep, keep)``; filter ``keep`` to
+    deduplicate, or join ``rep`` to map every row to its survivor.
+    Near-dup pairs that k-means splits across clusters are missed —
+    the documented SemDeDup trade (raise ``n_centroids`` granularity /
+    lower ``threshold`` to taste); the LSH-bucketed alternative is
+    :func:`stages.dedup.embedding_near_dup_pairs`."""
+    import pandas as pd
+
+    C, _ = kmeans_fit_full(ds, vec_column=vec_column,
+                           n_centroids=n_centroids, n_iter=n_iter,
+                           seed=seed)
+    assigned = assign_centroids(ds, C, vec_column=vec_column)
+
+    def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_column).reset_index(drop=True)
+        m = len(g)
+        ids = g[id_column].to_numpy()
+        rep = ids.copy()
+        if m >= 2:
+            V = np.asarray(np.stack(g[vec_column].to_numpy()),
+                           dtype=np.float32)
+            V = _norm(V)
+            S = V @ V.T
+            # union-find over threshold edges; rows are id-sorted so
+            # the root of a component is its minimum id
+            parent = np.arange(m)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ei, ej = np.nonzero(np.triu(S >= threshold, k=1))
+            for a, b in zip(ei.tolist(), ej.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rep = ids[np.fromiter((find(i) for i in range(m)),
+                                  dtype=np.int64, count=m)]
+        return pd.DataFrame({
+            id_column: ids,
+            "centroid_id": g["centroid_id"].to_numpy(),
+            "rep": rep,
+            "keep": rep == ids,
+        })
+
+    return (assigned.select_columns([id_column, vec_column, "centroid_id"])
+            .groupby("centroid_id")
+            .map_groups(_dedup_cluster, batch_format="pandas"))

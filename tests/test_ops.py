@@ -537,3 +537,46 @@ def test_image_decoder_real_branch_with_stub_pillow():
         assert px[1] == [9] * (4 * 4 * 3)
     finally:
         del sys.modules["PIL"]
+
+
+def test_semantic_dedup_within_cluster(ray_session):
+    """SemDeDup: near-identical vectors inside a k-means cluster
+    collapse to the MIN-id representative; distinct vectors survive."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    vecs, ids = [], []
+    centers = np.array([[10, 0, 0], [0, 10, 0], [0, 0, 10]], np.float32)
+    vid = 0
+    for c in centers:
+        for j in range(10):
+            base = c + rng.normal(0, 0.5, 3).astype(np.float32)
+            vecs.append(base)
+            ids.append(vid); vid += 1
+            if j < 3:  # three rows get a near-duplicate (tiny jitter)
+                vecs.append(base + rng.normal(0, 1e-4, 3).astype(np.float32))
+                ids.append(vid); vid += 1
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+
+    out = (semantic_dedup(ds, n_centroids=3, threshold=0.999999, seed=5)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == len(ids)
+    # each jittered pair collapses: the even (earlier) id is kept, the
+    # following near-dup maps to it
+    dup_pairs = [(i, i + 1) for i in range(0, vid, 1)
+                 if i + 1 < vid and
+                 np.allclose(vecs[i], vecs[i + 1], atol=1e-3)]
+    assert len(dup_pairs) == 9
+    rep = dict(zip(out.vec_id, out.rep))
+    keep = dict(zip(out.vec_id, out.keep))
+    for a, b in dup_pairs:
+        assert rep[b] == a and keep[a] and not keep[b]
+    # determinism
+    out2 = (semantic_dedup(ds, n_centroids=3, threshold=0.999999, seed=5)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert out.equals(out2)

@@ -188,3 +188,24 @@ def test_grouped_rank_timestamp_value():
     assert out.r.notna().all()
     assert out.r.tolist() == [1, 2, 2, 4, 2, 1]
     assert out.dr.tolist() == [1, 2, 2, 3, 2, 1]
+
+
+def test_grouped_quantiles_matches_numpy():
+    from snorkel_ray.stages.reshape import grouped_quantiles
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 700),
+        # coarse grid so the fine table is genuinely smaller than rows
+        "v": rng.integers(0, 40, 700).astype("float64") / 8.0})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (grouped_quantiles(ds, "k", "v", [0.25, 0.5, 0.75])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]:
+        ref = df.groupby("k")["v"].quantile(q, interpolation="linear")
+        assert np.allclose(out[col].to_numpy(), ref.to_numpy(), atol=0), \
+            (col, out[col].tolist(), ref.tolist())
+    # single-row group edge
+    one = ray.data.from_pandas(pd.DataFrame({"k": ["x"], "v": [3.5]}))
+    o = grouped_quantiles(one, "k", "v", [0.25, 0.75]).to_pandas()
+    assert o.q25.iloc[0] == o.q75.iloc[0] == 3.5
