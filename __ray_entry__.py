@@ -1233,6 +1233,23 @@ def q_asof_last_click_chunked(sf_dir: str):
             .sort("event_id"))
 
 
+def q_event_value_range_sum(sf_dir: str):
+    """Per-user TIME-RANGE rolling sum (SQL RANGE BETWEEN INTERVAL
+    PRECEDING — distinct from the ROWS-frame sliding mean)."""
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.windows import time_range_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = time_range_sum(ds, width="1h")
+
+    def _proj(b: pa.Table) -> pa.Table:
+        vals = [duck_round(v, 6) for v in b.column("range_sum").to_pylist()]
+        return pa.table({"event_id": b.column("event_id"),
+                         "range_sum": pa.array(vals, pa.float64())})
+
+    return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
+
+
 def q_order_price_quantiles(sf_dir: str):
     """Exact median order price by priority: groupby + per-group numpy
     median (interpolates the two middle values on even counts, matching
@@ -1763,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_daily_counts": q_events_daily_counts,
         "order_price_quartiles": q_order_price_quartiles,
+        "event_value_range_sum": q_event_value_range_sum,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2139,6 +2157,12 @@ def oracle_sql() -> dict[str, str]:
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id""",
+        "event_value_range_sum": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW), 6) AS range_sum
+            FROM events ORDER BY event_id""",
         "order_price_quartiles": """
             SELECT o_orderpriority,
                    round(quantile_cont(o_totalprice, 0.25), 2) AS q25,

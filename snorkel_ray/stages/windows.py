@@ -390,3 +390,92 @@ def cumulative_sum(events, *, key: str = "user_id", ts: str = "ts",
                 .drop_columns(["_carry", "_ck", "_chunk"]))
 
     return rows.map_batches(_apply_carry, batch_format="pyarrow")
+
+
+def time_range_sum(events, *, key: str = "user_id", ts: str = "ts",
+                   value: str = "value", width: str = "1h",
+                   out: str = "range_sum",
+                   pre_split_chunk: str | None = "auto"):
+    """Per-key TIME-RANGE rolling sum — SQL ``SUM(value) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL width
+    PRECEDING AND CURRENT ROW)``: each row sums every row of its key
+    with ``ts ∈ [row.ts − width, row.ts]`` (inclusive both ends; rows
+    sharing the exact ts are peers and all included, per SQL RANGE
+    semantics — ties need no tiebreak column).
+
+    Default ``"auto"`` probes for hot keys (min chunk width = the
+    window width).  The chunked two-level plan mirrors
+    ``sliding_window_mean`` with time slices instead of row counts:
+    rows further than ``width`` from their chunk's start settle in the
+    per-(key, chunk) pass; each chunk's trailing ``width`` of rows is
+    boundary context; the per-key fix-up recomputes only the heads
+    over (heads ∪ context).  Exact because a head's window spans at
+    most one chunk back when chunk ≥ width (enforced)."""
+    wid = pd.Timedelta(width)
+
+    def _rsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts] + (["event_id"] if "event_id" in g.columns
+                                  else []), kind="mergesort")
+        t = g[ts].to_numpy()
+        v = g[value].to_numpy(dtype=np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(t, t - wid, side="left")
+        hi = np.searchsorted(t, t, side="right")  # include ts peers
+        g[out] = cs[hi] - cs[lo]
+        return g
+
+    pre_split_chunk = _resolve_chunk(events, key, ts, pre_split_chunk,
+                                     min_width=wid)
+    if pre_split_chunk is None:
+        return events.groupby(key).map_groups(_rsum, batch_format="pandas")
+
+    chunk = pd.Timedelta(pre_split_chunk)
+    if chunk < wid:
+        raise ValueError(
+            f"pre_split_chunk {pre_split_chunk} must be >= width {width}")
+
+    def _add_chunk(b: pa.Table) -> pa.Table:
+        c = b.column(ts).to_pandas().dt.floor(chunk)
+        return b.append_column("_chunk", pa.Array.from_pandas(c))
+
+    def _level1(g: pd.DataFrame) -> pd.DataFrame:
+        chunk_start = g["_chunk"].iloc[0]
+        g = _rsum(g.drop(columns=["_chunk"]))
+        t = g[ts]
+        head_mask = (t - chunk_start) < wid        # window may cross back
+        ctx_mask = t >= (chunk_start + chunk - wid)  # next chunk's deps
+        settled = g[~head_mask].copy()
+        settled["_role"] = "done"
+        head = g[head_mask].copy()
+        head["_role"] = "head"
+        ctxr = g[ctx_mask].copy()
+        ctxr["_role"] = "ctx"
+        return pd.concat([settled, head, ctxr], ignore_index=True)
+
+    def _level2(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts] + (["event_id"] if "event_id" in g.columns else [])
+        heads = g[g["_role"] == "head"]
+        dedup = (g.drop_duplicates(order, keep="first")
+                 .sort_values(order, kind="mergesort").reset_index(drop=True))
+        dedup = _rsum(dedup)
+        keys = set(map(tuple, heads[order].itertuples(index=False)))
+        mask = dedup[order].apply(tuple, axis=1).isin(keys)
+        return dedup[mask].drop(columns=["_role"])
+
+    import pyarrow.compute as pc
+
+    def _role_filter(want_done: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            eq = pc.equal(b.column("_role"), "done")
+            t = b.filter(eq if want_done else pc.invert(eq))
+            return t.drop_columns(["_role"]) if want_done else t
+
+        return _f
+
+    chunked = events.map_batches(_add_chunk, batch_format="pyarrow")
+    staged = chunked.groupby([key, "_chunk"]).map_groups(
+        _level1, batch_format="pandas").materialize()
+    done = staged.map_batches(_role_filter(True), batch_format="pyarrow")
+    boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
+    fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
+    return done.union(fixed)

@@ -532,3 +532,45 @@ def test_asof_auto_hot_key_parity():
     pd.testing.assert_frame_equal(auto[sorted(auto.columns)],
                                   single[sorted(single.columns)],
                                   check_like=True, check_dtype=False)
+
+
+def test_time_range_sum_matches_brute_force():
+    """Time-range rolling sum: inclusive [t-width, t] frame, ts peers
+    all included (SQL RANGE semantics), plain == chunked."""
+    import pandas as pd
+    import ray
+
+    from snorkel_ray.stages.windows import time_range_sum
+
+    rng = np.random.default_rng(11)
+    n = 400
+    secs = np.sort(rng.integers(0, 40_000, n))
+    secs[5] = secs[6] = secs[7]          # planted ts ties
+    df = pd.DataFrame({
+        "user_id": [f"u{i % 3}" for i in range(n)],
+        "ts": pd.Timestamp("2024-05-01") + pd.to_timedelta(secs, unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.normal(0, 1, n),
+    })
+    wid = pd.Timedelta("1h")
+
+    def brute(df):
+        out = []
+        for _, r in df.iterrows():
+            m = (df.user_id == r.user_id) & (df.ts >= r.ts - wid) & (df.ts <= r.ts)
+            out.append(df.value[m].sum())
+        return np.array(out)
+
+    want = brute(df)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (time_range_sum(ds, width="1h", pre_split_chunk=None)
+           .to_pandas().sort_values("event_id"))
+    assert np.allclose(got.range_sum.to_numpy(), want, atol=1e-9)
+
+    chunked = (time_range_sum(ds, width="1h", pre_split_chunk="2h")
+               .to_pandas().sort_values("event_id"))
+    assert np.allclose(chunked.range_sum.to_numpy(), want, atol=1e-9)
+
+    import pytest
+    with pytest.raises(Exception, match=">= width"):
+        time_range_sum(ds, width="1h", pre_split_chunk="30min").to_pandas()
