@@ -1540,6 +1540,18 @@ def q_minhash_dedup_clusters(sf_dir: str):
     return minhash_dedup(ds, "text", "doc_id", num_perm=32, bands=8, threshold=0.7)
 
 
+def q_curation_funnel(sf_dir: str):
+    """Composite training-data curation funnel (decontaminate by
+    needle + exact dedup, first-fail accounting) — the SQL-expressible
+    stage subset so the whole pipeline is hash-checkable."""
+    from snorkel_ray.pipelines.curation import curate_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, _report = curate_docs(ds, needles=["slow fast", "big vector"],
+                                dedup=True)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_minhash_dedup_sharded(sf_dir: str):
     """Shard-resumable near-dedup: per-shard signature persistence +
     one global banding pass (rows-only; must yield the same cluster
@@ -1779,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottom_k_sample_orders": q_bottom_k_sample_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_daily_counts": q_events_daily_counts,
+        "curation_funnel": q_curation_funnel,
         "order_price_quartiles": q_order_price_quartiles,
         "event_value_range_sum": q_event_value_range_sum,
         "user_session_counts_chunked": q_user_session_counts_chunked,
@@ -2157,6 +2170,15 @@ def oracle_sql() -> dict[str, str]:
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id""",
+        "curation_funnel": """
+            WITH clean AS (
+              SELECT doc_id, text FROM documents
+              WHERE NOT contains(text, 'slow fast')
+                AND NOT contains(text, 'big vector'))
+            SELECT doc_id FROM clean c
+            WHERE doc_id = (SELECT min(doc_id) FROM clean c2
+                            WHERE c2.text = c.text)
+            ORDER BY doc_id""",
         "event_value_range_sum": """
             SELECT event_id,
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts

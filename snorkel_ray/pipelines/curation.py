@@ -1,0 +1,148 @@
+"""Training-data curation funnel — the composite pipeline a 100 TB
+pretraining-data user actually runs: language gate → quality score →
+Gopher battery → eval-set decontamination → exact dedup, in ONE
+annotated pass plus one bounded dedup shuffle.
+
+Design (scale-first): every filter ANNOTATES ``drop_reason`` (first
+failing stage wins, canonical order) instead of filtering, so the
+expensive per-document features (tokenization, Gopher metrics,
+contamination probe) are computed exactly once in a fused map chain.
+The split into kept/dropped and the per-reason funnel report are then
+one tiny ``groupby(drop_reason).count()`` over the annotated stream —
+no per-stage re-execution, no per-stage count() passes.  The annotated
+dataset is pinned once (``materialize``); at full scale write it to
+parquet instead and read both consumers from there (the checkpointed
+layout ``state/sharded.py`` provides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+REASONS = ("lang", "quality", "gopher", "contaminated", "duplicate")
+KEPT = "kept"  # sentinel (not null: null group keys break a sort-based
+#               groupby on mixed-object pandas blocks)
+
+
+def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
+                lang: str | None = None, min_quality: float | None = None,
+                gopher: bool = False, needles: list[str] | None = None,
+                dedup: bool = True, reason_col: str = "drop_reason",
+                gopher_thresholds: dict | None = None):
+    """→ (kept Dataset, funnel report dict).
+
+    ``report`` maps each drop reason (in applied order) to its document
+    count, plus ``n_input`` / ``n_kept``.  A document dropped by an
+    early stage is not charged to later ones (first-fail semantics, the
+    standard funnel accounting)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.joins import apply_mapping
+
+    ds = docs
+
+    # --- one fused annotate chain -------------------------------------
+    if lang is not None or min_quality is not None:
+        from ..stages.text_analysis import analyze_batch
+
+        def _lang_quality(b: pa.Table) -> pa.Table:
+            feats = analyze_batch(b.column(column).to_pylist())
+            reason = np.full(b.num_rows, KEPT, dtype=object)
+            if lang is not None:
+                reason[feats["lang_pred"] != lang] = "lang"
+            if min_quality is not None:
+                bad = (feats["quality"] < min_quality) & (reason == KEPT)
+                reason[bad] = "quality"
+            return b.append_column(reason_col, pa.array(reason, pa.string()))
+
+        ds = ds.map_batches(_lang_quality, batch_format="pyarrow")
+    else:
+        ds = ds.map_batches(
+            lambda b: b.append_column(reason_col, pa.array(
+                [KEPT] * b.num_rows, pa.string())),
+            batch_format="pyarrow")
+
+    if gopher:
+        from ..stages.quality_filters import gopher_filter
+
+        ds = gopher_filter(ds, column=column, keep=False,
+                           flag_col="_gopher_ok",
+                           **(gopher_thresholds or {}))
+
+        def _fold_gopher(b: pa.Table) -> pa.Table:
+            reason = np.asarray(b.column(reason_col), dtype=object)
+            ok = np.asarray(b.column("_gopher_ok"), dtype=bool)
+            fold = (reason == KEPT) & ~ok
+            reason[fold] = "gopher"
+            drop = ["_gopher_ok"] + [c for c in b.column_names
+                                     if c.startswith("qf_")]
+            i = b.schema.get_field_index(reason_col)
+            return (b.set_column(i, reason_col,
+                                 pa.array(reason, pa.string()))
+                    .drop_columns(drop))
+
+        ds = ds.map_batches(_fold_gopher, batch_format="pyarrow")
+
+    if needles:
+        from ..stages.decontaminate import flag_contaminated
+
+        ds = flag_contaminated(ds, column, needles=needles,
+                               flag_col="_contam")
+
+        def _fold_contam(b: pa.Table) -> pa.Table:
+            reason = np.asarray(b.column(reason_col), dtype=object)
+            hit = np.asarray(b.column("_contam"), dtype=bool)
+            fold = (reason == KEPT) & hit
+            reason[fold] = "contaminated"
+            i = b.schema.get_field_index(reason_col)
+            return (b.set_column(i, reason_col,
+                                 pa.array(reason, pa.string()))
+                    .drop_columns(["_contam"]))
+
+        ds = ds.map_batches(_fold_contam, batch_format="pyarrow")
+
+    # --- exact dedup among funnel survivors (bounded shuffle on the
+    # 128-bit content hash; winner = MIN id, deterministic) ------------
+    if dedup:
+        from ..stages.dedup import add_content_hash
+
+        ds = add_content_hash(ds, column, out="_chash").materialize()
+        survivors = ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column(reason_col), KEPT)),
+            batch_format="pyarrow")
+        winners = (survivors.select_columns(["_chash", id_column])
+                   .groupby("_chash")
+                   .aggregate(Min(id_column, alias_name="_winner")))
+        ds = apply_mapping(ds, winners, "_chash", "_chash", "_winner",
+                           "_winner")
+
+        def _fold_dup(b: pa.Table) -> pa.Table:
+            reason = np.asarray(b.column(reason_col), dtype=object)
+            ids = b.column(id_column)
+            w = pc.cast(b.column("_winner"), ids.type)
+            loser = (np.asarray(pc.and_(
+                pc.is_valid(w), pc.not_equal(ids, w)), dtype=bool)
+                & (reason == KEPT))
+            reason[loser] = "duplicate"
+            i = b.schema.get_field_index(reason_col)
+            return (b.set_column(i, reason_col,
+                                 pa.array(reason, pa.string()))
+                    .drop_columns(["_chash", "_winner"]))
+
+        ds = ds.map_batches(_fold_dup, batch_format="pyarrow")
+
+    annotated = ds.materialize()  # kept + report share one execution
+    counts = (annotated.groupby(reason_col)
+              .aggregate(Count(alias_name="n")).to_pandas())
+    by_reason = dict(zip(counts[reason_col], counts["n"]))
+    n_kept = int(by_reason.pop(KEPT, 0))
+    report = {"n_input": int(sum(by_reason.values()) + n_kept),
+              "n_kept": n_kept,
+              **{r: int(by_reason.get(r, 0)) for r in REASONS}}
+    kept = (annotated.map_batches(
+        lambda b: b.filter(pc.equal(b.column(reason_col), KEPT)),
+        batch_format="pyarrow").drop_columns([reason_col]))
+    return kept, report

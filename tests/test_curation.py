@@ -1,0 +1,68 @@
+"""Curation funnel: first-fail accounting, per-stage folds, dedup."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from snorkel_ray.pipelines.curation import curate_docs
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the rain "
+        "falls on the quiet town and the markets open slowly near the "
+        "river and people walk to work in the morning light with the ")
+
+
+def _docs():
+    rows = [
+        # 0-3: good english docs (distinct)
+        *({"doc_id": i, "text": GOOD + f"unique tail {i} town"}
+          for i in range(4)),
+        # 4: exact duplicate of 0 -> "duplicate"
+        {"doc_id": 4, "text": GOOD + "unique tail 0 town"},
+        # 5: german -> "lang"
+        {"doc_id": 5, "text": "der Hund und die Katze sind in dem Haus "
+                              "und der Mann geht zu der Arbeit mit dem "
+                              "Auto und die Kinder spielen in dem Garten "
+                              "mit den Freunden und die Frau liest ein "},
+        # 6: detectably English (one "the" marker) but terrible
+        # quality: punct soup + overlong words -> "quality"
+        {"doc_id": 6, "text": "the " + "!!!???***###$$$ " * 30
+                              + "supercalifragilistic " * 20},
+        # 7: contaminated (contains the planted needle) -> "contaminated"
+        {"doc_id": 7, "text": GOOD + " secret eval answer token here"},
+        # 8: duplicate of a DROPPED doc's text must NOT be charged as
+        # duplicate (its twin never survived) - it is its own survivor
+        {"doc_id": 8, "text": GOOD + "unique tail 8 town"},
+    ]
+    t = pa.table({"doc_id": [r["doc_id"] for r in rows],
+                  "text": [r["text"] for r in rows]})
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def test_curation_funnel_first_fail(ray_session):
+    kept, report = curate_docs(
+        _docs(), lang="en", min_quality=0.3,
+        needles=["secret eval answer"], dedup=True)
+    assert report["n_input"] == 9
+    assert report["lang"] == 1
+    assert report["quality"] == 1
+    assert report["contaminated"] == 1
+    assert report["duplicate"] == 1
+    assert report["gopher"] == 0  # stage off
+    assert report["n_kept"] == 5
+    got = sorted(kept.to_pandas().doc_id)
+    assert got == [0, 1, 2, 3, 8]
+    # schema restored: no helper columns
+    assert set(kept.schema().names) == {"doc_id", "text"}
+
+
+def test_curation_stages_optional(ray_session):
+    # only dedup: nothing else drops
+    kept, report = curate_docs(_docs(), dedup=True)
+    assert report["duplicate"] == 1
+    assert report["n_kept"] == 8
+    assert report["lang"] == report["quality"] == 0
+
+    # nothing enabled: identity with a report
+    kept, report = curate_docs(_docs(), dedup=False)
+    assert report["n_kept"] == report["n_input"] == 9
+    assert kept.count() == 9
