@@ -121,11 +121,15 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
 
         def _fold_dup(b: pa.Table) -> pa.Table:
             reason = np.asarray(b.column(reason_col), dtype=object)
-            ids = b.column(id_column)
-            w = pc.cast(b.column("_winner"), ids.type)
-            loser = (np.asarray(pc.and_(
-                pc.is_valid(w), pc.not_equal(ids, w)), dtype=bool)
-                & (reason == KEPT))
+            # to_pylist, not pc.cast: uint64 ids ≥ 2^63 ride shuffles
+            # as Ray's pickled-object extension arrays, which Arrow
+            # casts misread as strings; Python equality is exact for
+            # both representations
+            wl = b.column("_winner").to_pylist()
+            il = b.column(id_column).to_pylist()
+            loser = (np.fromiter(
+                (w is not None and w != i for w, i in zip(wl, il)),
+                dtype=bool, count=b.num_rows) & (reason == KEPT))
             reason[loser] = "duplicate"
             i = b.schema.get_field_index(reason_col)
             return (b.set_column(i, reason_col,

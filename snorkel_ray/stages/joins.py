@@ -460,6 +460,15 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
     if n <= broadcast_limit:
         mdf = mapping.select_columns([map_key, map_value]).to_pandas()
         vals_src = mdf[map_value]
+        # pin the output arrow type: the per-batch rebuild otherwise
+        # INFERS from Python objects, and a uint64 id ≥ 2^63 makes
+        # pyarrow try int64 → OverflowError (caught by the curation
+        # hash-range-id test)
+        out_type = None
+        try:
+            out_type = pa.from_numpy_dtype(np.dtype(str(vals_src.dtype)))
+        except (TypeError, pa.lib.ArrowNotImplementedError):
+            pass
         if pd.api.types.is_integer_dtype(vals_src.dtype):
             # nullable-int lookup values: a plain int64 Series.map
             # upcasts to float64 when any key misses (NaN), silently
@@ -481,7 +490,8 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
             vals = keys.map(lookup)
             if default_col is not None:
                 vals = vals.fillna(b.column(default_col).to_pandas())
-            return b.append_column(out_col, pa.Array.from_pandas(vals))
+            return b.append_column(
+                out_col, pa.Array.from_pandas(vals, type=out_type))
 
         return ds.map_batches(_apply, batch_format="pyarrow")
 

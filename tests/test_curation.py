@@ -66,3 +66,17 @@ def test_curation_stages_optional(ray_session):
     kept, report = curate_docs(_docs(), dedup=False)
     assert report["n_kept"] == report["n_input"] == 9
     assert kept.count() == 9
+
+
+def test_curation_dedup_with_hash_range_ids(ray_session):
+    """doc ids in the flagship are uint64 url hashes >= 2^63; the
+    dedup winner aggregate must stay exact there (no float round-trip,
+    no objectified shuffle corruption)."""
+    big = np.array([2**63 + 11, 2**63 + 7, 2**53 + 1], dtype=np.uint64)
+    t = pa.table({"doc_id": pa.array(big, pa.uint64()),
+                  "text": ["same text", "same text", "other text"]})
+    kept, report = curate_docs(
+        ray.data.from_arrow(t).repartition(2), dedup=True)
+    ids = sorted(kept.to_pandas().doc_id.astype(np.uint64))
+    assert ids == [2**53 + 1, 2**63 + 7]  # exact min wins
+    assert report["duplicate"] == 1
