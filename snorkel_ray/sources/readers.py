@@ -230,8 +230,15 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
             [_os.path.join(out_dir, name)], pa.string()),
             "n_rows": pa.array([len(rows)], pa.int64())})
 
-    # consume the manifest so the write executes; return it for audit
-    return ds.map_batches(_write, batch_format="pyarrow").materialize()
+    # consume the manifest so the write executes; return it for audit.
+    # Byte-identical blocks collapse to ONE shard (same content hash) —
+    # dedup their manifest rows so the audit matches the directory
+    # instead of double-counting the collapsed file (round-4 review).
+    import ray.data as rd
+
+    mdf = (ds.map_batches(_write, batch_format="pyarrow")
+           .to_pandas().drop_duplicates("path").reset_index(drop=True))
+    return rd.from_pandas(mdf).materialize()
 
 
 def read_parquet_pruned(path: str | list[str], *, columns: list[str] | None = None,

@@ -343,8 +343,12 @@ def grouped_quantiles(ds, key: str, value: str, qs: list[float], *,
        exceeds r, via ``searchsorted``) — a hot key costs O(its
        distinct values), never its row count.
 
-    → Dataset (key, one float64 column per requested quantile)."""
+    → Dataset (key, one float64 column per requested quantile).
+    Null values are ignored (SQL ``quantile_cont`` semantics); a key
+    whose values are ALL null is absent from the output (SQL would
+    emit it with null quantiles — the one documented divergence)."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
@@ -353,6 +357,7 @@ def grouped_quantiles(ds, key: str, value: str, qs: list[float], *,
         raise ValueError("out_names must match qs")
 
     def _partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(value)))
         df = (b.select([key, value]).to_pandas()
               .groupby([key, value], sort=False, dropna=False)
               .size().reset_index(name="_c"))

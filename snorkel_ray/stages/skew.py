@@ -83,6 +83,11 @@ def auto_pre_split_chunk(ds, key: str, ts: str, *,
         width = min_width
     if width <= pd.Timedelta(0):
         return None
+    if width > span / 2:
+        # fewer than ~2 chunks would exist: the two-level plan
+        # degenerates to the single-group plan plus overhead (round-4
+        # review) — decline to chunk
+        return None
     return f"{int(width.value)}ns"
 
 

@@ -33,12 +33,57 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _attach_uid(g, chunk_key) -> None:
+    """Per-row identity for the two-level plans: unique within a
+    (key, chunk) group by position, across chunks by the chunk key.
+    The level-2 head/context dedup keys on THIS, not on (ts, event_id)
+    — deduping on order columns silently collapsed distinct rows that
+    tie on ts when no event_id column exists (round-4 review)."""
+    ck = getattr(chunk_key, "value", chunk_key)
+    g["_w_uid"] = [f"{ck}:{i}" for i in range(len(g))]
+
+
+def _level2_dedup(g, order):
+    """Level-2 input with head/ctx double-emissions collapsed by row
+    uid, re-sorted on the op's order columns."""
+    return (g.drop_duplicates("_w_uid")
+            .sort_values(order, kind="mergesort").reset_index(drop=True))
+
+
+def _keep_heads(dedup, heads):
+    mask = dedup["_w_uid"].isin(set(heads["_w_uid"]))
+    return dedup[mask].drop(columns=["_role", "_w_uid"])
+
+
+def _role_split(staged):
+    """(done rows without helper cols, boundary rows with roles)."""
+    import pyarrow.compute as pc
+
+    def _f(want_done: bool):
+        def _filter(b: pa.Table) -> pa.Table:
+            eq = pc.equal(b.column("_role"), "done")
+            t = b.filter(eq if want_done else pc.invert(eq))
+            return (t.drop_columns(["_role", "_w_uid"])
+                    if want_done else t)
+
+        return _filter
+
+    return (staged.map_batches(_f(True), batch_format="pyarrow"),
+            staged.map_batches(_f(False), batch_format="pyarrow"))
+
+
 def _resolve_chunk(events, key: str, ts: str, pre_split_chunk,
                    *, min_width: pd.Timedelta | None = None):
     """``"auto"`` (the default everywhere in this family, round-3
     verdict item 2) probes for hot keys and returns a chunk width only
     when one exists; explicit ``None`` forces the single-group plan,
-    an explicit width forces the two-level plan."""
+    an explicit width forces the two-level plan.
+
+    COST: the probe executes the input pipeline once at plan-build
+    time (a seeded random sample of (key, ts)).  When the input is an
+    expensive map chain and the caller already knows the skew shape,
+    pass ``None`` or an explicit width to skip the probe — correctness
+    never depends on it."""
     if pre_split_chunk == "auto":
         from .skew import auto_pre_split_chunk
 
@@ -164,7 +209,9 @@ def lag_column(events, *, key: str = "user_id", ts: str = "ts",
         return b.append_column("_chunk", pa.Array.from_pandas(c))
 
     def _level1(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["_chunk"].iloc[0]
         g = _lag(g.drop(columns=["_chunk"]))
+        _attach_uid(g, ck)
         m = len(g)
         idx = np.arange(m)
         if lead:
@@ -182,30 +229,15 @@ def lag_column(events, *, key: str = "user_id", ts: str = "ts",
         return pd.concat([settled, head, tail], ignore_index=True)
 
     def _level2(g: pd.DataFrame) -> pd.DataFrame:
-        order = _order_cols(g)
         heads = g[g["_role"] == "head"]
-        dedup = (g.drop_duplicates(order, keep="first")
-                 .sort_values(order).reset_index(drop=True))
+        dedup = _level2_dedup(g, _order_cols(g))
         dedup[out] = dedup[value].shift(shift)
-        keys = set(map(tuple, heads[order].itertuples(index=False)))
-        mask = dedup[order].apply(tuple, axis=1).isin(keys)
-        return dedup[mask].drop(columns=["_role"])
-
-    import pyarrow.compute as pc
-
-    def _role_filter(want_done: bool):
-        def _f(b: pa.Table) -> pa.Table:
-            eq = pc.equal(b.column("_role"), "done")
-            t = b.filter(eq if want_done else pc.invert(eq))
-            return t.drop_columns(["_role"]) if want_done else t
-
-        return _f
+        return _keep_heads(dedup, heads)
 
     chunked = events.map_batches(_add_chunk, batch_format="pyarrow")
     staged = chunked.groupby([key, "_chunk"]).map_groups(
         _level1, batch_format="pandas").materialize()
-    done = staged.map_batches(_role_filter(True), batch_format="pyarrow")
-    boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
+    done, boundary = _role_split(staged)
     fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
     return done.union(fixed)
 
@@ -257,7 +289,9 @@ def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
         return b.append_column("_chunk", pa.Array.from_pandas(c))
 
     def _level1(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["_chunk"].iloc[0]
         g = _roll(g.drop(columns=["_chunk"]))
+        _attach_uid(g, ck)
         n = len(g)
         idx = np.arange(n)
         settled = g.iloc[idx[idx >= w1]].copy()
@@ -271,31 +305,16 @@ def sliding_window_mean(events, *, key: str = "user_id", ts: str = "ts",
     def _level2(g: pd.DataFrame) -> pd.DataFrame:
         order = [ts] + (["event_id"] if "event_id" in g.columns else [])
         heads = g[g["_role"] == "head"]
-        # context rows that duplicate a head row collapse into it (a
-        # short chunk's rows are both); identity = the sort order key
-        dedup = g.drop_duplicates(order, keep="first") \
-            .sort_values(order).reset_index(drop=True)
+        # head/ctx double-emissions collapse by row uid (NOT by the
+        # order columns — distinct tied-ts rows must all survive)
+        dedup = _level2_dedup(g, order)
         dedup["rolling_mean"] = dedup[value].rolling(window, min_periods=1).mean()
-        keys = set(map(tuple, heads[order].itertuples(index=False)))
-        mask = dedup[order].apply(tuple, axis=1).isin(keys)
-        return dedup[mask].drop(columns=["_role"])
-
-    import pyarrow.compute as pc
-
-    def _role_filter(want_done: bool):
-        def _f(b: pa.Table) -> pa.Table:
-            eq = pc.equal(b.column("_role"), "done")
-            t = b.filter(eq if want_done else pc.invert(eq))
-            return t.drop_columns(["_role"]) if want_done else t
-
-        return _f
+        return _keep_heads(dedup, heads)
 
     chunked = events.map_batches(_add_chunk, batch_format="pyarrow")
     staged = chunked.groupby([key, "_chunk"]).map_groups(
         _level1, batch_format="pandas").materialize()  # consumed twice
-
-    done = staged.map_batches(_role_filter(True), batch_format="pyarrow")
-    boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
+    done, boundary = _role_split(staged)
     fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
     return done.union(fixed)
 
@@ -424,8 +443,13 @@ def time_range_sum(events, *, key: str = "user_id", ts: str = "ts",
         g[out] = cs[hi] - cs[lo]
         return g
 
+    # auto: a chunk must be MUCH wider than the window or the
+    # boundary set (fraction ~2*width/chunk of every key's rows) eats
+    # the gain — min 16x; the probe's span/2 guard then falls back to
+    # the single-group plan when the window is wide relative to the
+    # data's time span (chunking cannot help there)
     pre_split_chunk = _resolve_chunk(events, key, ts, pre_split_chunk,
-                                     min_width=wid)
+                                     min_width=16 * wid)
     if pre_split_chunk is None:
         return events.groupby(key).map_groups(_rsum, batch_format="pandas")
 
@@ -441,6 +465,7 @@ def time_range_sum(events, *, key: str = "user_id", ts: str = "ts",
     def _level1(g: pd.DataFrame) -> pd.DataFrame:
         chunk_start = g["_chunk"].iloc[0]
         g = _rsum(g.drop(columns=["_chunk"]))
+        _attach_uid(g, chunk_start)
         t = g[ts]
         head_mask = (t - chunk_start) < wid        # window may cross back
         ctx_mask = t >= (chunk_start + chunk - wid)  # next chunk's deps
@@ -455,27 +480,12 @@ def time_range_sum(events, *, key: str = "user_id", ts: str = "ts",
     def _level2(g: pd.DataFrame) -> pd.DataFrame:
         order = [ts] + (["event_id"] if "event_id" in g.columns else [])
         heads = g[g["_role"] == "head"]
-        dedup = (g.drop_duplicates(order, keep="first")
-                 .sort_values(order, kind="mergesort").reset_index(drop=True))
-        dedup = _rsum(dedup)
-        keys = set(map(tuple, heads[order].itertuples(index=False)))
-        mask = dedup[order].apply(tuple, axis=1).isin(keys)
-        return dedup[mask].drop(columns=["_role"])
-
-    import pyarrow.compute as pc
-
-    def _role_filter(want_done: bool):
-        def _f(b: pa.Table) -> pa.Table:
-            eq = pc.equal(b.column("_role"), "done")
-            t = b.filter(eq if want_done else pc.invert(eq))
-            return t.drop_columns(["_role"]) if want_done else t
-
-        return _f
+        dedup = _rsum(_level2_dedup(g, order))
+        return _keep_heads(dedup, heads)
 
     chunked = events.map_batches(_add_chunk, batch_format="pyarrow")
     staged = chunked.groupby([key, "_chunk"]).map_groups(
         _level1, batch_format="pandas").materialize()
-    done = staged.map_batches(_role_filter(True), batch_format="pyarrow")
-    boundary = staged.map_batches(_role_filter(False), batch_format="pyarrow")
+    done, boundary = _role_split(staged)
     fixed = boundary.groupby(key).map_groups(_level2, batch_format="pandas")
     return done.union(fixed)

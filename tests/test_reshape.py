@@ -209,3 +209,16 @@ def test_grouped_quantiles_matches_numpy():
     one = ray.data.from_pandas(pd.DataFrame({"k": ["x"], "v": [3.5]}))
     o = grouped_quantiles(one, "k", "v", [0.25, 0.75]).to_pandas()
     assert o.q25.iloc[0] == o.q75.iloc[0] == 3.5
+
+
+def test_grouped_quantiles_ignores_nulls():
+    """SQL quantile_cont ignores NULL values; the fine table must too
+    (round-4 review: nulls used to count as data and shift positions)."""
+    from snorkel_ray.stages.reshape import grouped_quantiles
+
+    t = pa.table({"k": ["a", "a", "a", "b"],
+                  "v": pa.array([1.0, 2.0, None, 5.0], pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = (grouped_quantiles(ds, "k", "v", [0.5])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.q50.tolist() == [1.5, 5.0]

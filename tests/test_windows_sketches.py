@@ -574,3 +574,75 @@ def test_time_range_sum_matches_brute_force():
     import pytest
     with pytest.raises(Exception, match=">= width"):
         time_range_sum(ds, width="1h", pre_split_chunk="30min").to_pandas()
+
+
+def test_chunked_plans_keep_tied_ts_rows_without_event_id():
+    """Round-4 review: the level-2 head/ctx dedup keyed on (ts) used to
+    collapse DISTINCT rows that tie on ts when no event_id column
+    exists.  Row identity is now a per-row uid — chunked output must
+    have exactly the input row count and (for the time-range sum)
+    exactly the single-group values."""
+    import pandas as pd
+    import ray
+
+    from snorkel_ray.stages.windows import (
+        cumulative_sum,
+        sliding_window_mean,
+        time_range_sum,
+    )
+
+    # many tied timestamps right at chunk boundaries, NO event_id
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    for d in range(6):
+        t0 = base + pd.Timedelta(days=d)
+        rows += [(t0, 1.0), (t0, 2.0), (t0, 4.0),        # boundary ties
+                 (t0 + pd.Timedelta("3h"), 8.0)]
+    df = pd.DataFrame(rows, columns=["ts", "value"])
+    df["user_id"] = "hot"
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    out = (time_range_sum(ds, width="1h", pre_split_chunk="1D")
+           .to_pandas())
+    assert len(out) == len(df)
+    single = (time_range_sum(ds, width="1h", pre_split_chunk=None)
+              .to_pandas())
+    a = sorted(zip(out.ts, out.value, out.range_sum))
+    b = sorted(zip(single.ts, single.value, single.range_sum))
+    assert a == b
+    # tied rows are peers: each boundary trio sums to 7.0
+    trio = out[out.value == 1.0]
+    assert (trio.range_sum == 7.0).all()
+
+    # sliding mean: chunked keeps every row (values among ties are
+    # order-dependent either way; the row-loss is the bug under test)
+    slid = (sliding_window_mean(ds, window=3, pre_split_chunk="1D")
+            .to_pandas())
+    assert len(slid) == len(df)
+    assert slid.rolling_mean.notna().all()
+
+
+def test_auto_probe_declines_degenerate_chunking():
+    """A window wide relative to the data span must fall back to the
+    single-group plan (chunking would put ~everything in the boundary
+    set), and non-timestamp ts must decline too."""
+    import pandas as pd
+    import ray
+
+    from snorkel_ray.stages.skew import auto_pre_split_chunk
+
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": ["hot"] * n,
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),  # 50-minute span
+        "value": np.ones(n),
+    })
+    ds = ray.data.from_pandas(df)
+    # min_width 16h >> span/2 -> decline
+    assert auto_pre_split_chunk(ds, "user_id", "ts",
+                                min_width=pd.Timedelta("16h")) is None
+    # numeric ts -> decline
+    df2 = df.assign(ts=np.arange(n, dtype=np.float64))
+    assert auto_pre_split_chunk(
+        ray.data.from_pandas(df2), "user_id", "ts") is None
