@@ -1233,6 +1233,21 @@ def q_asof_last_click_chunked(sf_dir: str):
             .sort("event_id"))
 
 
+def q_order_price_histogram(sf_dir: str):
+    """Equal-width price histogram (width_bucket semantics; the oracle
+    states the identical float64 floor expression)."""
+    from snorkel_ray.stages.reshape import histogram_fixed_width
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = histogram_fixed_width(ds, "o_totalprice",
+                                lo=800.0, hi=600000.0, n_buckets=7)
+    # the operator emits empty buckets too (useful histogram output);
+    # SQL GROUP BY does not — align for the hash gate
+    return (out.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 0)),
+        batch_format="pyarrow").sort("bucket"))
+
+
 def q_event_value_range_sum(sf_dir: str):
     """Per-user TIME-RANGE rolling sum (SQL RANGE BETWEEN INTERVAL
     PRECEDING — distinct from the ROWS-frame sliding mean)."""
@@ -1792,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_daily_counts": q_events_daily_counts,
         "curation_funnel": q_curation_funnel,
+        "order_price_histogram": q_order_price_histogram,
         "order_price_quartiles": q_order_price_quartiles,
         "event_value_range_sum": q_event_value_range_sum,
         "user_session_counts_chunked": q_user_session_counts_chunked,
@@ -2170,6 +2186,12 @@ def oracle_sql() -> dict[str, str]:
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id""",
+        "order_price_histogram": """
+            SELECT CAST(least(greatest(
+                     floor((o_totalprice - 800.0) * 7 / (600000.0 - 800.0))
+                     + 1, 0), 8) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY bucket ORDER BY bucket""",
         "curation_funnel": """
             WITH clean AS (
               SELECT doc_id, text FROM documents

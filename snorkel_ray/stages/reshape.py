@@ -382,3 +382,36 @@ def grouped_quantiles(ds, key: str, value: str, qs: list[float], *,
         return pd.DataFrame(row)
 
     return fine.groupby(key).map_groups(_quant, batch_format="pandas")
+
+
+def histogram_fixed_width(ds, value: str, *, lo: float, hi: float,
+                          n_buckets: int, bucket_col: str = "bucket",
+                          count_col: str = "n"):
+    """Equal-width histogram (SQL ``width_bucket`` semantics): bucket
+    1..n for ``lo ≤ v < hi``, 0 below, n+1 at/above ``hi``; nulls
+    dropped.  One streaming pass: per-batch ``np.bincount`` partials
+    (n+2 rows per block, the combiner) → one tiny
+    ``groupby(bucket).sum``.  The bucket index is computed as
+    ``floor((v − lo) · n / (hi − lo))`` in float64 — state the same
+    expression in a SQL oracle and the two agree bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    if not (hi > lo) or n_buckets < 1:
+        raise ValueError("need hi > lo and n_buckets >= 1")
+    nb = int(n_buckets)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        col = b.column(value)
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        v = np.asarray(col, dtype=np.float64)
+        idx = np.floor((v - lo) * nb / (hi - lo)).astype(np.int64) + 1
+        idx = np.clip(idx, 0, nb + 1)
+        counts = np.bincount(idx, minlength=nb + 2)
+        return pa.table({bucket_col: pa.array(np.arange(nb + 2), pa.int64()),
+                         count_col: pa.array(counts, pa.int64())})
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(bucket_col).aggregate(Sum(count_col,
+                                               alias_name=count_col)))

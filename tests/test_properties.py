@@ -144,3 +144,38 @@ def test_hll_merge_associative_and_bounded(xs, ys):
     true = len(set(xs) | set(ys))
     if true >= 100:
         assert abs(merged.estimate() - true) / true < 0.15
+
+
+@given(st.lists(st.one_of(st.none(), text_strategy), max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_simhash_batch_parity_property(texts):
+    from snorkel_ray.stages.dedup import simhash64, simhash64_batch
+
+    got = simhash64_batch(texts)
+    want = [0 if t is None else simhash64(t) for t in texts]
+    assert got.tolist() == want
+
+
+@given(st.lists(st.one_of(st.none(), text_strategy), min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_analyze_batch_parity_property(texts):
+    from snorkel_ray.stages.text_analysis import (
+        analyze_batch,
+        count_tokens,
+        detect_lang,
+        fingerprint64,
+        quality_features,
+    )
+
+    got = analyze_batch(texts)
+    for i, t in enumerate(texts):
+        s = t or ""
+        stop, punct, mwl, n, score = quality_features(s)
+        assert got["lang_pred"][i] == detect_lang(s)
+        assert got["stopword_ratio"][i] == stop
+        assert got["punct_ratio"][i] == punct
+        assert got["mean_word_len"][i] == mwl
+        assert got["n_words"][i] == n
+        assert got["quality"][i] == score
+        assert (got["ws_tokens"][i], got["bpe_tokens"][i]) == count_tokens(s)
+        assert int(got["fingerprint"][i]) == fingerprint64(s)

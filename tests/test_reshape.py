@@ -222,3 +222,15 @@ def test_grouped_quantiles_ignores_nulls():
     out = (grouped_quantiles(ds, "k", "v", [0.5])
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out.q50.tolist() == [1.5, 5.0]
+
+
+def test_histogram_fixed_width():
+    from snorkel_ray.stages.reshape import histogram_fixed_width
+
+    vals = [0.0, -1.0, 2.5, 5.0, 9.99, 10.0, 42.0, None]
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (histogram_fixed_width(ds, "v", lo=0.0, hi=10.0, n_buckets=4)
+           .to_pandas().set_index("bucket").n)
+    # -1 -> 0; 0 -> 1; 2.5 -> 2; 5 -> 3; 9.99 -> 4; 10, 42 -> 5
+    assert out.to_dict() == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
