@@ -38,9 +38,11 @@ def add_content_hash(ds, column: str, out: str = "content_hash"):
 
     def _hash(batch: pa.Table) -> pa.Table:
         vals = batch.column(column).to_pylist()
-        hs = [hashlib.blake2b(v.encode() if isinstance(v, str) else bytes(v),
-                              digest_size=16).hexdigest()
-              for v in vals]
+        # nulls hash as empty (consistent with the shingle/text paths,
+        # which treat None as ""); round-4 review — bytes(None) raised
+        hs = [hashlib.blake2b(
+            b"" if v is None else v.encode() if isinstance(v, str)
+            else bytes(v), digest_size=16).hexdigest() for v in vals]
         return batch.append_column(out, pa.array(hs, pa.string()))
 
     return ds.map_batches(_hash, batch_format="pyarrow")
@@ -277,7 +279,8 @@ def minhash_signatures(ds, column: str, id_column: str, *, num_perm: int = 64,
 
 
 def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
-                     dedup: bool = True, pin_exploded: bool = True):
+                     dedup: bool = True, pin_exploded: bool = True,
+                     full_pairs_bucket_cap: int = 8):
     """signatures → candidate duplicate pairs via band-bucket anchoring.
 
     Explode each row to (bucket_key, id); per bucket the MIN id is the
@@ -291,6 +294,15 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
     from ray.data.aggregate import Count, Min
 
     from .joins import apply_mapping
+
+    def _check_bands(num_perm: int) -> None:
+        # bands > num_perm makes r=0 (every doc in ONE bucket per band
+        # -> the verify stage degrades to a full-corpus scan); a
+        # non-dividing bands silently ignores trailing permutations
+        # (round-4 review)
+        if bands > num_perm or num_perm % bands != 0:
+            raise ValueError(
+                f"bands={bands} must divide num_perm={num_perm}")
 
     def _bands(batch: pa.Table) -> pa.Table:
         """Vectorized band-bucket keys: the (n, num_perm) signature
@@ -306,6 +318,7 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
             return pa.table({"bkey": pa.array([], pa.int64()),
                              "doc": batch.column(id_column)})
         num_perm = flat.size // n
+        _check_bands(num_perm)
         r = num_perm // bands
         S = flat.reshape(n, num_perm)
         keys = []
@@ -342,13 +355,14 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
     if pin_exploded:
         exploded = exploded.materialize()
-    anchors = exploded.groupby("bkey").aggregate(
+    anchors_n = exploded.groupby("bkey").aggregate(
         Count(alias_name="_n"), Min("doc", alias_name="anchor"))
     import pyarrow.compute as pc
 
-    anchors = anchors.map_batches(
-        lambda b: b.filter(pc.greater(b.column("_n"), 1)).drop_columns(["_n"]),
-        batch_format="pyarrow")
+    anchors_n = anchors_n.map_batches(
+        lambda b: b.filter(pc.greater(b.column("_n"), 1)),
+        batch_format="pyarrow").materialize()  # anchors + small-bucket scan
+    anchors = anchors_n.drop_columns(["_n"])
     with_anchor = apply_mapping(exploded, anchors, "bkey", "bkey", "anchor",
                                 "anchor")
 
@@ -366,7 +380,70 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
         return pa.table({"a": pc.cast(t.column("anchor"), doc.type),
                          "b": t.column("doc")})
 
+    cap = max(int(full_pairs_bucket_cap), 2)
     pairs = with_anchor.map_batches(_edges, batch_format="pyarrow")
+
+    # --- small-bucket recall patch (round-4 review): anchor-only edges
+    # miss member-member pairs in buckets of >= 3 when the min-id
+    # anchor fails verification.  Buckets of 3..cap members ALSO emit
+    # all pairs (the duplicate anchor edges collapse in the per-pair
+    # groupby below / in verify's); beyond the cap the linear anchor
+    # plan stands — a hot bucket must never go quadratic.  The small
+    # set is usually EMPTY or tiny, so it is collected via a
+    # count-gated broadcast is_in (one cheap map over exploded), not a
+    # second full apply_mapping pass (measured +3.5 s of fixed shuffle
+    # cost on the sf0.1 micro).
+    import ray
+    import ray.data as rd
+
+    small_keys = anchors_n.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater(b.column("_n"), 2),
+            pc.less_equal(b.column("_n"), cap))).select(["bkey"]),
+        batch_format="pyarrow").materialize()
+    n_small = small_keys.count()
+    if n_small:
+        if n_small <= 2_000_000:
+            key_ref = ray.put(small_keys.to_pandas()["bkey"].to_numpy())
+
+            def _in_small(b: pa.Table) -> pa.Table:
+                ks = ray.get(key_ref)
+                t = b.filter(pc.is_in(b.column("bkey"),
+                                      value_set=pa.array(ks, pa.int64())))
+                return pa.table({"bkey": t.column("bkey"),
+                                 "doc": t.column("doc")})
+
+            small_rows = exploded.map_batches(_in_small,
+                                              batch_format="pyarrow")
+        else:  # planet-scale fallback: mark via the hash-join mapping
+            marked = apply_mapping(
+                exploded, small_keys.map_batches(
+                    lambda b: b.append_column(
+                        "_s", pa.array(np.ones(b.num_rows, np.int8))),
+                    batch_format="pyarrow"),
+                "bkey", "bkey", "_s", "_s")
+            small_rows = marked.map_batches(
+                lambda b: pa.table({
+                    "bkey": b.filter(pc.is_valid(b.column("_s"))).column("bkey"),
+                    "doc": b.filter(pc.is_valid(b.column("_s"))).column("doc")}),
+                batch_format="pyarrow")
+
+        def _all_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(g["doc"].unique())
+            out_a, out_b = [], []
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+            return pd.DataFrame({"a": out_a, "b": out_b})
+
+        small_pairs = (small_rows.groupby("bkey")
+                       .map_groups(_all_pairs, batch_format="pandas")
+                       # arrow blocks: a pandas/arrow mixed union trips
+                       # Ray's inferred block-type assertion
+                       .map_batches(lambda b: b, batch_format="pyarrow"))
+        pairs = pairs.union(small_pairs)
+
     if not dedup:
         # duplicate (a, b) rows from multiple shared bands survive —
         # downstream verify's per-pair groupby collapses them for free
@@ -685,7 +762,7 @@ def add_simhash(ds, column: str, out: str = "simhash"):
 
 
 def simhash_near_dup_pairs(ds, column: str, id_column: str, *, max_hamming: int = 3,
-                           blocks: int = 4):
+                           blocks: int | None = None):
     """Near-dup candidate pairs by SimHash block-banding: split the 64
     bits into ``blocks`` bands; two docs within ``max_hamming`` bits
     share at least one exact band (pigeonhole when blocks > max_hamming)
@@ -700,6 +777,15 @@ def simhash_near_dup_pairs(ds, column: str, id_column: str, *, max_hamming: int 
 
     from .joins import apply_mapping
 
+    if blocks is None:
+        # smallest 64-divisor that keeps the pigeonhole guarantee
+        blocks = next(b for b in (1, 2, 4, 8, 16, 32, 64)
+                      if b > max_hamming)
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole: two docs within max_hamming bits must share "
+            "one exact band)")
     hashed = add_simhash(ds, column)
     width = 64 // blocks
 
@@ -770,12 +856,19 @@ def embedding_near_dup_pairs(ds, vec_column: str, id_column: str, *,
     buckets.  The scale path: no O(n²) matmul; bucket width is tunable
     via ``lsh_bits``."""
     first = ds.take(1)
+    if not first:  # empty input: empty pair table, not IndexError
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     dim = len(first[0][vec_column])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, lsh_bits)).astype(np.float32)
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        vecs = np.asarray(batch.column(vec_column).to_pylist(),
+                          dtype=np.float32).reshape(-1, dim)
         proj = (vecs @ planes) > 0
         codes = (proj.astype(np.uint64) << np.arange(lsh_bits, dtype=np.uint64)).sum(axis=1)
         return pa.table({id_column: batch.column(id_column),

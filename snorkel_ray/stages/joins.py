@@ -136,11 +136,19 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
     left_names = lschema.names
     ltype = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
     rtype = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    # integer right values ride the pandas group stages AS STRINGS:
+    # null-padding + ffill upcasts int columns to float64, which
+    # corrupts values ≥ 2^53 (round-4 review — the same id-corruption
+    # mode apply_mapping already guards); strings survive exactly and
+    # _restore_types casts them back
+    _carry_type = {c: (pa.string() if pa.types.is_integer(rtype[c])
+                       else rtype[c]) for c in value_cols}
 
     def _tag_left(b: pa.Table) -> pa.Table:
         t = b
         for c, oc in zip(value_cols, out_cols):
-            t = t.append_column("_r_" + oc, pa.nulls(b.num_rows, rtype[c]))
+            t = t.append_column("_r_" + oc,
+                                pa.nulls(b.num_rows, _carry_type[c]))
         return t.append_column("_side", pa.array(
             np.ones(b.num_rows, np.int8), pa.int8()))
 
@@ -150,7 +158,10 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
             if c not in (key, ts):
                 cols[c] = pa.nulls(b.num_rows, ltype[c])
         for c, oc in zip(value_cols, out_cols):
-            cols["_r_" + oc] = b.column(c)
+            col = b.column(c)
+            cols["_r_" + oc] = (pc.cast(col, pa.string())
+                                if _carry_type[c] == pa.string()
+                                and col.type != pa.string() else col)
         cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8), pa.int8())
         return pa.table({c: cols[c] for c in
                          left_names + ["_r_" + oc for oc in out_cols]
@@ -166,15 +177,20 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
 
     def _restore_types(b: pa.Table) -> pa.Table:
         # pandas upcast the null-padded left int columns to float64
-        # through the group stage; cast back (values are integral)
+        # through the group stage; cast back (values are integral).
+        # Out columns restore to the RIGHT side's original types too
+        # (ints come back from the string carry; float32/timestamps
+        # from their pandas-widened forms)
         import pyarrow.compute as pc
 
         cols = {}
         for c in left_names:
             col = b.column(c)
             cols[c] = pc.cast(col, ltype[c]) if col.type != ltype[c] else col
-        for oc in out_cols:
-            cols[oc] = b.column(oc)
+        for c, oc in zip(value_cols, out_cols):
+            col = b.column(oc)
+            cols[oc] = (pc.cast(col, rtype[c])
+                        if col.type != rtype[c] else col)
         return pa.table(cols)
 
     if pre_split_chunk is not None:
@@ -435,6 +451,13 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
     Broadcast path when the mapping has ≤ ``broadcast_limit`` rows,
     hash-join shuffle path otherwise (partitioning assumption: keys
     hash-distribute evenly; salt upstream if one key dominates).
+
+    PRECONDITION: ``map_key`` must be unique in ``mapping`` — the
+    broadcast path raises on duplicates; the shuffle (left-outer join)
+    path would silently MULTIPLY matching rows instead (round-4
+    review), so pre-aggregate the mapping.  Note: a key mapped to a
+    NULL value is indistinguishable from an absent key — with
+    ``default_col`` both get the default (coalesce semantics).
     """
     import ray
     import ray.data as rd
@@ -479,10 +502,17 @@ def apply_mapping(ds, mapping, key_col: str, map_key: str, map_value: str,
                         "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
                         "uint32": "UInt32", "uint64": "UInt64"}
             vals_src = vals_src.astype(nullable[str(vals_src.dtype)])
-        lookup_ref = ray.put(pd.Series(vals_src.array
-                                       if hasattr(vals_src, "array")
-                                       else vals_src.values,
-                                       index=mdf[map_key].values))
+        lookup = pd.Series(vals_src.array
+                           if hasattr(vals_src, "array")
+                           else vals_src.values,
+                           index=mdf[map_key].values)
+        if not lookup.index.is_unique:
+            raise ValueError(
+                "apply_mapping: mapping has duplicate keys — "
+                "pre-aggregate to one row per key (Series.map would "
+                "raise here; the shuffle plan would silently multiply "
+                "rows)")
+        lookup_ref = ray.put(lookup)
 
         def _apply(b: pa.Table) -> pa.Table:
             lookup = ray.get(lookup_ref)

@@ -70,17 +70,36 @@ def link_candidates(scored, alias_ref, *, concurrency=None, batch_size: int | No
     )
 
 
-_WITNESS_ORDER = TRIPLE_KEY + ["p", "url", "sent_stable_id"]
+# dedup identity: the qid when linked, the SURFACE TEXT when not —
+# distinct unlinked facts must not collapse under the shared "" qid
+# (round-4 review: ('', pred, '') keyed every unlinked triple)
+DEDUP_KEY = ["_dk_subj", "pred", "_dk_obj"]
+_WITNESS_ORDER = DEDUP_KEY + ["p", "url", "sent_stable_id"]
 _WITNESS_ASC = [True, True, True, False, True, True]
+# deterministic output order; subj/obj break ties among unlinked rows
+_OUT_ORDER = TRIPLE_KEY + ["subj", "obj"]
+
+
+def _with_dedup_keys(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    df = df.copy()
+    df["_dk_subj"] = np.where(df["subj_qid"] != "", df["subj_qid"],
+                              "t:" + df["subj"])
+    df["_dk_obj"] = np.where(df["obj_qid"] != "", df["obj_qid"],
+                             "t:" + df["obj"])
+    return df
 
 
 def _best_witness(df: pd.DataFrame) -> pd.DataFrame:
-    """One row per triple key: max p, ties broken by (url,
+    """One row per dedup key: max p, ties broken by (url,
     sent_stable_id) — DETERMINISTIC regardless of block arrival order
     (a bare idxmax picks whichever tied witness arrived first and makes
     reruns differ in the witness columns)."""
+    df = _with_dedup_keys(df)
     df = df.sort_values(_WITNESS_ORDER, ascending=_WITNESS_ASC, kind="mergesort")
-    return df.groupby(TRIPLE_KEY, sort=False).head(1)
+    return (df.groupby(DEDUP_KEY, sort=False).head(1)
+            .drop(columns=["_dk_subj", "_dk_obj"]))
 
 
 def _combine_batch(batch: pa.Table) -> pa.Table:
@@ -90,8 +109,52 @@ def _combine_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(_best_witness(batch.to_pandas()), preserve_index=False)
 
 
-def _take_max_p(group: pd.DataFrame) -> pd.DataFrame:
-    return _best_witness(group)
+def _dedup_distributed(combined):
+    """Vectorized distributed max-p dedup — the same Min-aggregate
+    winner plan as ``dedup.exact_dedup`` (this path activates exactly
+    when distinct triples number in the millions, i.e. near-singleton
+    groups, where a per-group ``map_groups`` pays ~0.1 ms of pandas
+    tax EACH — CLAUDE.md perf rule 5; round-4 review):
+
+    1. per row: composite dedup key ``_dk`` + a totally-ordered winner
+       string ``_rk`` = sortkey(−p) · url · sent · batch-unique suffix
+       (the suffix keeps byte-identical combiner outputs from BOTH
+       surviving the equality filter);
+    2. ``groupby(_dk).aggregate(Min(_rk))`` — the winner per triple;
+    3. winners map back via ``apply_mapping``; keep rows whose ``_rk``
+       equals their key's winner."""
+    import uuid
+
+    import numpy as np
+
+    from ray.data.aggregate import Min
+
+    from .dedup import _sort_key_strings
+    from .joins import apply_mapping
+
+    def _keys(b: pa.Table) -> pa.Table:
+        df = _with_dedup_keys(b.to_pandas())
+        dk = (df["_dk_subj"] + "\x1f" + df["pred"] + "\x1f"
+              + df["_dk_obj"])
+        neg_p = pa.array(-df["p"].to_numpy(dtype=np.float64))
+        tag = uuid.uuid4().hex
+        rk = [f"{pk}\x1f{u}\x1f{s}\x1f{tag}:{i}" for i, (pk, u, s) in
+              enumerate(zip(_sort_key_strings(neg_p), df["url"],
+                            df["sent_stable_id"]))]
+        t = pa.Table.from_pandas(
+            df.drop(columns=["_dk_subj", "_dk_obj"]), preserve_index=False)
+        return (t.append_column("_dk", pa.array(dk.tolist(), pa.string()))
+                .append_column("_rk", pa.array(rk, pa.string())))
+
+    keyed = combined.map_batches(_keys, batch_format="pyarrow").materialize()
+    winners = keyed.groupby("_dk").aggregate(Min("_rk", alias_name="_win"))
+    marked = apply_mapping(keyed, winners, "_dk", "_dk", "_win", "_win")
+
+    def _keep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("_rk"), b.column("_win"))
+        return b.filter(keep).drop_columns(["_dk", "_rk", "_win"])
+
+    return marked.map_batches(_keep, batch_format="pyarrow")
 
 
 def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None = None,
@@ -154,16 +217,14 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
 
         df = combined.to_pandas()
         if len(df):
-            df = _best_witness(df).sort_values(TRIPLE_KEY).reset_index(drop=True)
+            df = _best_witness(df).sort_values(_OUT_ORDER).reset_index(drop=True)
             out = rd.from_pandas(df)
         else:  # schema-stable empty result
             from ..schemas import TRIPLES
 
             out = rd.from_arrow(TRIPLES.empty_table())
     else:
-        deduped = combined.groupby(TRIPLE_KEY).map_groups(_take_max_p,
-                                                          batch_format="pandas")
-        out = deduped.sort(TRIPLE_KEY)
+        out = _dedup_distributed(combined).sort(_OUT_ORDER)
     if out_dir is not None:
         from ..state.checkpoint import atomic_write_parquet
 

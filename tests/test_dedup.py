@@ -1,6 +1,7 @@
 """Dedup operator tests on crafted collision sets (SURVEY.md §5.1)."""
 
 import numpy as np
+import ray
 import pyarrow as pa
 import pytest
 
@@ -174,7 +175,10 @@ def test_lsh_pairs_preserve_large_int_ids(ray_session):
     sigs = minhash_signatures(ds, "text", "doc_id", num_perm=32)
     pairs = lsh_bucket_pairs(sigs, "doc_id", bands=8).to_pandas()
     got = sorted((int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"]))
-    assert got == [(big + 1, big + 2), (big + 1, big + 3)]
+    # 3-member bucket: full pairs since round 4 (anchor edges plus the
+    # member-member pair), all ids exact above 2^53
+    assert got == [(big + 1, big + 2), (big + 1, big + 3),
+                   (big + 2, big + 3)]
 
 
 def test_shingle_batch_parity():
@@ -252,3 +256,67 @@ def test_lsh_pin_exploded_parity(dup_docs):
     b = (minhash_dedup(dup_docs, "text", "doc_id", pin_exploded=False)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_guards_from_round4_review(dup_docs):
+    """Precondition guards: bands must divide num_perm; simhash blocks
+    must beat max_hamming (auto-picked by default); null text hashes
+    as empty instead of crashing; empty embedding input yields an
+    empty pair table."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import (
+        add_content_hash,
+        embedding_near_dup_pairs,
+        minhash_dedup,
+        simhash_near_dup_pairs,
+    )
+
+    with pytest.raises(Exception, match="must divide"):
+        minhash_dedup(dup_docs, "text", "doc_id",
+                      num_perm=32, bands=64).to_pandas()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(dup_docs, "text", "doc_id",
+                               max_hamming=6, blocks=4)
+
+    t = pa.table({"doc_id": [1, 2], "text": pa.array(["a", None])})
+    hashed = add_content_hash(ray.data.from_arrow(t), "text").to_pandas()
+    assert hashed.content_hash.notna().all()
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert embedding_near_dup_pairs(empty, "embedding", "vec_id").count() == 0
+
+
+def test_lsh_small_bucket_full_pairs(ray_session):
+    """Round-4 review: anchor-only edges lose member-member pairs in
+    buckets of >= 3 when the min-id anchor is the odd one out.  Small
+    buckets (3..cap) now emit all pairs; cap=2 reproduces the old
+    anchor-only behavior."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import lsh_bucket_pairs
+
+    # num_perm=4, bands=2 (r=2): docs 10/11 share band 0 with doc 1
+    # but NOT band 1 — the only bucket holding (10, 11) also holds 1
+    def sig(b0a, b0b, b1a, b1b):
+        return np.array([b0a, b0b, b1a, b1b], dtype=np.uint64)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 10, 11], pa.int64()),
+        "sig": pa.array([sig(5, 6, 70, 71).tolist(),
+                         sig(5, 6, 80, 81).tolist(),
+                         sig(5, 6, 90, 91).tolist()],
+                        pa.list_(pa.uint64())),
+    })
+    sigs = rd.from_arrow(t).repartition(2)
+
+    full = lsh_bucket_pairs(sigs, "doc_id", bands=2).to_pandas()
+    got = set(map(tuple, full[["a", "b"]].itertuples(index=False)))
+    assert (10, 11) in got and (1, 10) in got and (1, 11) in got
+
+    anchor_only = lsh_bucket_pairs(sigs, "doc_id", bands=2,
+                                   full_pairs_bucket_cap=2).to_pandas()
+    got2 = set(map(tuple, anchor_only[["a", "b"]].itertuples(index=False)))
+    assert (10, 11) not in got2 and (1, 10) in got2 and (1, 11) in got2

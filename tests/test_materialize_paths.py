@@ -111,3 +111,63 @@ def test_lsh_bucket_pairs_standalone(ray_session):
     assert not any(3 in p for p in got)
     # dedup=True must not emit duplicate pairs
     assert len(pairs) == len(pairs.drop_duplicates(["a", "b"]))
+
+
+def test_unlinked_triples_do_not_collapse(ray_session):
+    """Round-4 review: distinct facts whose entities are all unlinked
+    (qid '') used to collapse under the shared ('', pred, '') dedup
+    key — the small and distributed paths must both keep them apart,
+    keyed by surface text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.materialize import materialize_triples
+
+    rows = pd.DataFrame({
+        "subj_text": ["Alice", "Bob", "Alice"],
+        "pred": ["born_in"] * 3,
+        "obj_text": ["Paris", "Tokyo", "Paris"],
+        "subj_qid": [""] * 3,
+        "obj_qid": [""] * 3,
+        "p": [0.9, 0.8, 0.7],
+        "url": ["u1", "u2", "u3"],
+        "sent_stable_id": ["s1", "s2", "s3"],
+    })
+    ds = rd.from_pandas(rows).repartition(2)
+    for force in (True, False):
+        out = (materialize_triples(ds, threshold=0.5, small_output=force)
+               .to_pandas().sort_values(["subj", "obj"]).reset_index(drop=True))
+        assert len(out) == 2, (force, out)
+        assert out.subj.tolist() == ["Alice", "Bob"]
+        # max-p witness survives for the duplicated fact
+        assert out[out.subj == "Alice"].url.tolist() == ["u1"]
+
+
+def test_distributed_dedup_matches_small_path(ray_session):
+    """The vectorized Min-aggregate distributed plan must emit exactly
+    the driver-merge plan's rows (values AND deterministic order)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.materialize import materialize_triples
+
+    rng = np.random.default_rng(4)
+    n = 300
+    rows = pd.DataFrame({
+        "subj_text": [f"e{i % 40}" for i in range(n)],
+        "pred": [("likes", "knows")[i % 2] for i in range(n)],
+        "obj_text": [f"e{(i * 7) % 23}" for i in range(n)],
+        "subj_qid": [f"Q{i % 40}" for i in range(n)],
+        "obj_qid": [f"Q{(i * 7) % 23}" for i in range(n)],
+        "p": rng.uniform(0.4, 1.0, n).round(3),
+        "url": [f"u{i % 9}" for i in range(n)],
+        "sent_stable_id": [f"s{i}" for i in range(n)],
+    })
+    ds = rd.from_pandas(rows).repartition(5)
+    small = materialize_triples(ds, threshold=0.5,
+                                small_output=True).to_pandas()
+    dist = materialize_triples(ds, threshold=0.5,
+                               small_output=False).to_pandas()
+    pd.testing.assert_frame_equal(small.reset_index(drop=True),
+                                  dist.reset_index(drop=True))

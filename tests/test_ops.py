@@ -580,3 +580,30 @@ def test_semantic_dedup_within_cluster(ray_session):
     out2 = (semantic_dedup(ds, n_centroids=3, threshold=0.999999, seed=5)
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert out.equals(out2)
+
+
+def test_asof_join_preserves_big_int_values(ray_session):
+    """Round-4 review: integer right-side value columns used to ride
+    the pandas group stage as float64, corrupting ids >= 2^53; they
+    now carry as strings and restore to the exact original type."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({
+        "k": ["a", "a", "a"],
+        "t": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:00",
+                             "2024-01-01 00:30"]),
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a"],
+        "t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:30"]),
+        "big_id": np.array([2**53 + 1, 2**63 + 7], dtype=np.uint64),
+    })
+    for chunked in (None, "1h"):
+        out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                         "k", "t", ["big_id"], pre_split_chunk=chunked)
+               .to_pandas().sort_values("t").reset_index(drop=True))
+        vals = [int(v) for v in out.big_id]
+        assert vals == [2**53 + 1, 2**53 + 1, 2**63 + 7], (chunked, vals)
