@@ -158,8 +158,13 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
 
 def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):
     """linked mentions/candidates (entity_key, qid) → Dataset
-    (entity_key, canonical_id): qid-anchored clusters for linked keys,
-    ``C:<key>`` singletons for unlinked ones."""
+    (entity_key, canonical_id): qid-anchored clusters for LINKED keys.
+
+    Keys that only ever appear unlinked (qid == "") are ABSENT from
+    the map — attach them with ``joins.apply_mapping(...,
+    default_col=<key column>)`` so they fall back to themselves, as
+    ``pipelines/kg.py`` does (round-4 review: the docstring used to
+    promise C:<key> singleton rows that were never emitted)."""
     import pyarrow.compute as pc
 
     def _edges(b: pa.Table) -> pa.Table:
@@ -167,11 +172,15 @@ def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):
         qids = b.column("qid")
         linked = pc.not_equal(qids, "")
         t = pa.table({"entity_key": keys, "qid": qids}).filter(linked)
-        # qid nodes get a "Q!" prefix sorting BEFORE any surface key so the
-        # component min-label is always the (prefixed) qid — deterministic.
+        # qid nodes carry a \x00 prefix, surface keys \x01: the
+        # component min-label is ALWAYS a prefixed qid, for every
+        # possible key charset (a bare "!" prefix lost to keys starting
+        # with space/control chars < 0x21 — round-4 review)
         return pa.table({"src": pc.binary_join_element_wise(
-            pa.array(["!"] * t.num_rows, pa.string()), t.column("qid"), ""),
-            "dst": t.column("entity_key")})
+            pa.array(["\x00"] * t.num_rows, pa.string()), t.column("qid"), ""),
+            "dst": pc.binary_join_element_wise(
+            pa.array(["\x01"] * t.num_rows, pa.string()),
+            t.column("entity_key"), "")})
 
     from ray.data.aggregate import Count
 
@@ -186,9 +195,12 @@ def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):
     def _to_map(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        is_key = pc.invert(pc.starts_with(b.column("node"), "!"))
+        is_key = pc.starts_with(b.column("node"), "\x01")
         t = b.filter(is_key)
-        canon = pc.replace_substring_regex(t.column("label"), "^!", "")
-        return pa.table({"entity_key": t.column("node"), "canonical_id": canon})
+        # strip the one-char node prefixes; the min label is a
+        # \x00-prefixed qid by construction (every edge has a qid src)
+        return pa.table({
+            "entity_key": pc.utf8_slice_codeunits(t.column("node"), 1),
+            "canonical_id": pc.utf8_slice_codeunits(t.column("label"), 1)})
 
     return comp.map_batches(_to_map, batch_format="pyarrow")

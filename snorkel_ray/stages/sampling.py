@@ -52,10 +52,17 @@ _MOD = np.uint64(1) << np.uint64(32)
 
 def knuth_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
     """((id + seed) * 2654435761) mod 2^32 as uint64 — SQL-replicable
-    and exact for any int64 id (the product is taken mod 2^64 first,
-    which equals the mathematical product mod 2^32 after the final
-    reduction)."""
-    x = np.asarray(ids).astype(np.uint64)
+    and exact for any NON-NEGATIVE int64 id (the product is taken mod
+    2^64 first, which equals the mathematical product mod 2^32 after
+    the final reduction).  Negative ids are rejected: numpy's uint64
+    wrap yields the non-negative residue while SQL ``%`` returns a
+    negative remainder, so the oracle replica would silently select a
+    different row set (round-4 review)."""
+    x = np.asarray(ids)
+    if np.issubdtype(x.dtype, np.signedinteger) and len(x) and x.min() < 0:
+        raise ValueError("knuth_hash: negative ids are not supported "
+                         "(the documented SQL replica diverges there)")
+    x = x.astype(np.uint64)
     with np.errstate(over="ignore"):
         x = (x + np.uint64(seed)) * np.uint64(KNUTH)
     return x % _MOD

@@ -20,6 +20,20 @@ def _norm(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
 
+def _merge_partial_topk(partial, id_column: str, k: int):
+    """Exact global top-k per query from per-batch partials, merged on
+    the DRIVER (the stream is k × queries × blocks rows — small by
+    construction) and returned as a Dataset."""
+    import ray.data as rd
+
+    df = partial.to_pandas()
+    out = (df.sort_values(["query_idx", "cosine", id_column],
+                          ascending=[True, False, True], kind="mergesort")
+           .groupby("query_idx", sort=True).head(k)
+           .reset_index(drop=True))
+    return rd.from_pandas(out)
+
+
 def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
                      id_column: str = "vec_id", k: int = 10):
     """→ Dataset (query_idx, id, cosine) of the global top-k per query.
@@ -53,11 +67,11 @@ def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
                          "cosine": pa.array(np.asarray(out_s, np.float64), pa.float64())})
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
-
-    return partial.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+    # driver merge of the tiny partial stream (k x q x num_blocks rows)
+    # instead of a groupby appended to the live map chain — an AllToAll
+    # there caps the fused chain's parallelism (CLAUDE.md perf rule 1;
+    # round-4 review).  sampling.bottom_k_sample is the same shape.
+    return _merge_partial_topk(partial, id_column, k)
 
 
 # ---------------------------------------------------------------------------
@@ -319,11 +333,7 @@ def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, *,
                          "cosine": pa.array(np.asarray(out_s, np.float64), pa.float64())})
 
     partial = ds.map_batches(_route_and_score, batch_format="pyarrow")
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
-
-    return partial.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+    return _merge_partial_topk(partial, id_column, k)
 
 
 def semantic_dedup(ds, *, vec_column: str = "embedding",

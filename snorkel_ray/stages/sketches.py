@@ -247,9 +247,17 @@ class SpaceSaving:
             if len(other.counts) >= other.capacity else 0
         merged = []
         for k in keys:
-            c = self.counts.get(k, 0) + other.counts.get(k, 0)
-            e = self.errs.get(k, min_s if k not in self.counts else 0) \
-                + other.errs.get(k, min_o if k not in other.counts else 0)
+            cs, co = self.counts.get(k), other.counts.get(k)
+            # standard mergeable estimate (Agarwal et al. 2012): a key
+            # absent from one side contributes that side's min to BOTH
+            # count and err — ranking by the raw present-side sum could
+            # evict a true heavy hitter whose mass was split (round-4
+            # review); with both sides under capacity the mins are 0
+            # and counts stay exact
+            c = (cs if cs is not None else min_s) \
+                + (co if co is not None else min_o)
+            e = (self.errs.get(k, 0) if cs is not None else min_s) \
+                + (other.errs.get(k, 0) if co is not None else min_o)
             merged.append((c, k, e))
         merged.sort(reverse=True)
         for c, k, e in merged[:self.capacity]:

@@ -65,6 +65,29 @@ def atomic_write_parquet(ds, out_dir: str):
     return rd.read_parquet(out_dir)
 
 
+def write_manifest(path: str, payload: dict) -> None:
+    """Atomic manifest write (tmp + rename): a run killed mid-write
+    must leave either no manifest or a complete one — a truncated
+    ``_manifest.json`` used to make every subsequent resume raise
+    ``JSONDecodeError`` instead of recomputing (round-4 review)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_manifest(path: str) -> dict | None:
+    """Manifest read that treats corrupt/unreadable JSON as absent
+    (the stage recomputes) instead of crashing the resume."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
 def fingerprint(*parts: object) -> str:
     h = hashlib.blake2b(digest_size=16)
     for p in parts:
@@ -114,12 +137,13 @@ class CheckpointedPipeline:
 
         final = os.path.join(self.root, name)
         manifest_path = os.path.join(final, "_manifest.json")
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                m = json.load(f)
+        m = load_manifest(manifest_path)  # corrupt/truncated -> None
+        if m is not None:
             if m.get("fingerprint") == fp:
                 self.log.append(StageResult(name, fp, final, m.get("rows"), True))
                 return rd.read_parquet(final), fp
+            shutil.rmtree(final)
+        elif os.path.exists(final):
             shutil.rmtree(final)
 
         tmp = final + ".tmp"
@@ -142,12 +166,12 @@ class CheckpointedPipeline:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
-        with open(manifest_path, "w") as f:
-            json.dump({"fingerprint": fp, "stage": name, "rows": rows,
-                       "wall_sec": round(wall, 3),
-                       "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
-                       "params": {k: repr(v) for k, v in params.items()},
-                       "code_version": CODE_VERSION}, f, indent=1)
+        write_manifest(manifest_path, {
+            "fingerprint": fp, "stage": name, "rows": rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "params": {k: repr(v) for k, v in params.items()},
+            "code_version": CODE_VERSION})
         self.log.append(StageResult(name, fp, final, rows, False))
         return rd.read_parquet(final), fp
 

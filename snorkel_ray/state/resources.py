@@ -33,8 +33,14 @@ def broadcast_key(obj) -> str:
 
         if isinstance(obj, pa.Table):
             h.update(str(obj.schema).encode())
-            for batch in obj.to_batches():
+            # combine_chunks first: Array.buffers() returns the PARENT
+            # buffers and ignores slice offset/length, so two different
+            # slices of one table would otherwise hash identically and
+            # cross-serve cached state (round-4 review); after combine
+            # the arrays are re-materialized with offset 0
+            for batch in obj.combine_chunks().to_batches():
                 for col in batch.columns:
+                    h.update(f"{col.offset}:{len(col)}".encode())
                     for buf in col.buffers():
                         if buf is not None:
                             h.update(buf)
@@ -70,4 +76,8 @@ def pool_concurrency(frac: float = 0.25) -> tuple[int, int]:
     except Exception:
         cpus = 4
     hi = max(1, min(int(cpus * frac), cpus - 1))
+    # NOTE: a 1-CPU session necessarily gets (1, 1) — the pool takes
+    # the only CPU, so mixing a pooled stage with task stages there
+    # can starve; library defaults use as_tasks=True precisely so a
+    # pool is always an explicit caller choice
     return (max(1, hi // 2), hi)

@@ -29,7 +29,12 @@ from typing import Callable
 import pyarrow as pa
 
 from ..functions.ids import hash64
-from .checkpoint import CODE_VERSION, fingerprint
+from .checkpoint import (
+    CODE_VERSION,
+    fingerprint,
+    load_manifest,
+    write_manifest,
+)
 
 
 def _stabilize_fsspec_http() -> None:
@@ -106,6 +111,27 @@ def shard_pages(pages, num_shards: int):
             for s in range(num_shards)]
 
 
+def _shard_parquet_files(dirs: list[str]) -> list[str]:
+    """All shard part files, SKIPPING zero-column placeholders (an
+    all-filtered shard whose schema was unknowable writes a 0-column
+    empty.parquet; mixing it into one read_parquet breaks schema
+    unification — round-4 review).  Raises when nothing remains."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for d in dirs:
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(d, f)
+            if pq.ParquetFile(p).metadata.num_columns > 0:
+                files.append(p)
+    if not files:
+        raise ValueError("every shard produced an empty, schema-less "
+                         "output — nothing to read for the global step")
+    return files
+
+
 def run_sharded_stage(
     pages,
     root: str,
@@ -130,8 +156,16 @@ def run_sharded_stage(
 
     _stabilize_fsspec_http()
     os.makedirs(os.path.join(root, stage_name), exist_ok=True)
-    shard_list = list(shards if shards is not None
-                      else shard_pages(pages, num_shards))
+    if shards is not None:
+        shard_list = list(shards)
+    else:
+        # hash-shard fallback: no file metadata exists to fingerprint,
+        # so fold a cheap row-count token into each shard fingerprint —
+        # a resized corpus invalidates stale manifests (round-4 review;
+        # an equal-count content swap still needs the caller to version
+        # input_fingerprint)
+        tok = f"rows={pages.count()}"
+        shard_list = [(i, d, tok) for i, d in shard_pages(pages, num_shards)]
 
     def _run_one(item) -> tuple[str, dict]:
         # shards may be (idx, ds) or (idx, ds, input_token); the token
@@ -147,12 +181,13 @@ def run_sharded_stage(
                          shard_token)
         final = os.path.join(root, stage_name, f"shard={shard}")
         mpath = os.path.join(final, "_manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                m = json.load(f)
+        m = load_manifest(mpath)  # corrupt/truncated -> recompute
+        if m is not None:
             if m.get("fingerprint") == fp:
                 m["skipped"] = True
                 return final, m
+            shutil.rmtree(final)
+        elif os.path.exists(final):
             shutil.rmtree(final)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
@@ -191,8 +226,7 @@ def run_sharded_stage(
             "code_version": CODE_VERSION,
             "skipped": False,
         }
-        with open(mpath, "w") as f:
-            json.dump(m, f, indent=1)
+        write_manifest(mpath, m)
         return final, m
 
     # a few shard pipelines in flight keeps the cluster busy through
@@ -266,8 +300,7 @@ def run_kg_pipeline_sharded(
                 "cooccur_gap": cooccur_gap},
         input_fingerprint=input_fingerprint, shards=shards)
 
-    files = [os.path.join(d, f) for d in dirs
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    files = _shard_parquet_files(dirs)
     labeled = rd.read_parquet(files)
     model = fit_label_model(pattern_counts(labeled))
     scored = score_marginals(labeled, model)
@@ -344,8 +377,9 @@ def run_minhash_dedup_sharded(
 
             return _f
 
-        shards = [(s, pages.map_batches(_filter(s), batch_format="pyarrow"))
-                  for s in range(num_shards)]
+        tok = f"rows={pages.count()}"  # see run_sharded_stage fallback note
+        shards = [(s, pages.map_batches(_filter(s), batch_format="pyarrow"),
+                   tok) for s in range(num_shards)]
 
     dirs, manifests = run_sharded_stage(
         pages, root, "minhash_sigs", build, num_shards=num_shards,
@@ -355,8 +389,7 @@ def run_minhash_dedup_sharded(
 
     from pyarrow.fs import LocalFileSystem
 
-    files = [os.path.join(d, f) for d in dirs
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    files = _shard_parquet_files(dirs)
     sigs = rd.read_parquet(files, filesystem=LocalFileSystem())
     clusters = minhash_dedup(pages, column, id_column, num_perm=num_perm,
                              shingle_k=shingle_k, bands=bands,

@@ -186,3 +186,83 @@ def test_kll_empty_and_single(ray_session):
     assert s.quantile(0.0) == s.quantile(1.0) == 42.0
     merged = KLL(64).merge(s)
     assert merged.quantile(0.5) == 42.0 and merged.n == 1
+
+
+def test_round4_third_review_guards(ray_session, tmp_path):
+    """Regression batch for the third review pass."""
+    import json
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    # 1. broadcast_key: two slices of one parent table must NOT collide
+    from snorkel_ray.state.resources import broadcast_key
+
+    parent = pa.table({"k": list(range(100)), "v": ["x"] * 100})
+    assert broadcast_key(parent.slice(0, 10)) != broadcast_key(parent.slice(0, 20))
+    assert broadcast_key(parent.slice(0, 10)) == broadcast_key(parent.slice(0, 10))
+
+    # 2. canonicalize: a surface key sorting before '!' still resolves
+    # to the qid anchor
+    from snorkel_ray.stages.canonicalize import canonical_entity_map
+
+    m = (canonical_entity_map(rd.from_items([
+        {"entity_key": " acme corp", "qid": "Q42"},
+        {"entity_key": "acme", "qid": "Q42"},
+    ])).to_pandas().set_index("entity_key").canonical_id)
+    assert m[" acme corp"] == "Q42" and m["acme"] == "Q42"
+
+    # 3. SpaceSaving merge: split heavy hitter survives via min-credit
+    from snorkel_ray.stages.sketches import SpaceSaving
+
+    a, b = SpaceSaving(2), SpaceSaving(2)
+    for _ in range(6):
+        a.update("hot")
+    a.update("x"); a.update("x"); a.update("x")
+    a.update("y")          # evicts -> a at capacity, min known
+    for _ in range(6):
+        b.update("hot")
+    b.update("z"); b.update("z"); b.update("z")
+    merged = a.merge(b)
+    assert "hot" in merged.counts  # true count 12 must be present
+
+    # 4. corrupt manifest -> recompute, not JSONDecodeError
+    from snorkel_ray.state.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "ckpt")
+    pipe = CheckpointedPipeline(root=root, input_fingerprint="v1")
+    ds, fp = pipe.stage("s1", {}, lambda: rd.from_items(
+        [{"a": 1}, {"a": 2}]))
+    assert ds.count() == 2
+    mpath = f"{root}/s1/_manifest.json"
+    with open(mpath, "w") as f:
+        f.write('{"fingerprint": "tru')  # truncated write
+    pipe2 = CheckpointedPipeline(root=root, input_fingerprint="v1")
+    ds2, _ = pipe2.stage("s1", {}, lambda: rd.from_items(
+        [{"a": 1}, {"a": 2}]))
+    assert ds2.count() == 2
+    assert pipe2.log[-1].skipped is False  # recomputed
+    assert json.load(open(mpath))["fingerprint"] == fp
+
+    # 5. hash-shard fallback invalidates on input size change
+    from snorkel_ray.state.sharded import run_sharded_stage
+
+    def build(sds):
+        return sds
+
+    p1 = rd.from_pandas(pd.DataFrame({"doc_id": range(10),
+                                      "url": [f"u{i}" for i in range(10)]}))
+    root2 = str(tmp_path / "shards")
+    _, m1 = run_sharded_stage(p1, root2, "st", build, num_shards=2)
+    p2 = rd.from_pandas(pd.DataFrame({"doc_id": range(14),
+                                      "url": [f"u{i}" for i in range(14)]}))
+    _, m2 = run_sharded_stage(p2, root2, "st", build, num_shards=2)
+    assert all(not m["skipped"] for m in m2)  # stale manifests rejected
+
+    # 6. negative ids rejected by the hash sampler
+    from snorkel_ray.stages.sampling import knuth_hash
+
+    with pytest.raises(ValueError, match="negative"):
+        knuth_hash(np.array([-5, 3], dtype=np.int64))
