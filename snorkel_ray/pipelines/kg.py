@@ -60,9 +60,19 @@ def run_kg_pipeline(
     chain and union before labeling stats."""
     import ray
 
+    from ..state.checkpoint import fingerprint as _fp
+    from ..state.resources import broadcast_key
+
     alias_ref = ray.put(alias_table)
     kb_ref = ray.put({"facts": [tuple(f) for f in (facts or [])],
                       "link_index": build_link_index(alias_table)}) if facts else None
+    # content digests of the broadcast inputs: the alias table and KB
+    # determine candidates, DS-LF votes AND linking, so they must fold
+    # into the stage fingerprints — an edited KB with an unchanged
+    # input_fingerprint used to silently serve stale checkpoints
+    # (round-4 review)
+    kb_fp = _fp(broadcast_key(alias_table),
+                sorted(tuple(f) for f in (facts or [])))
 
     cp = CheckpointedPipeline(checkpoint_dir, input_fingerprint)
 
@@ -75,11 +85,19 @@ def run_kg_pipeline(
     # skipping that was the tokenizer-stage scaling fix (BASELINE.md
     # round-2 per-stage audit). extract_candidates over an explicit
     # sentence table remains for sentence-level consumers.
+    # an explicit concurrency is a request for bounded actor pools;
+    # the elastic-task default ignores it (round-4 review: the
+    # parameter was silently dead)
+    as_tasks = concurrency is None
+
     def _labeled_chain(pages_ds, batch_size=None):
         return apply_lfs(
             extract_candidates_fused(
                 extract_docs(
-                    pages_ds.map_batches(_lang_filter, batch_format="pyarrow")
+                    pages_ds.map_batches(_lang_filter, batch_format="pyarrow"),
+                    # giant-page routing must bound the PARSE stage too,
+                    # not just the candidate stage (round-4 review)
+                    batch_size=batch_size,
                 ),
                 alias_ref,
                 cooccur_pred=cooccur_pred,
@@ -88,6 +106,7 @@ def run_kg_pipeline(
             ),
             kb_ref,
             concurrency=concurrency,
+            as_tasks=as_tasks,
         )
 
     def _build_labeled():
@@ -104,7 +123,7 @@ def run_kg_pipeline(
         "labeled",
         {"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
          "cooccur_gap": cooccur_gap, "fused": True,
-         "giant_page_bytes": giant_page_bytes},
+         "giant_page_bytes": giant_page_bytes, "kb_fp": kb_fp},
         _build_labeled,
     )
     if fit_sample_rows is not None or fit_sample_fraction is not None:
@@ -138,8 +157,13 @@ def run_kg_pipeline(
 
     scored = score_marginals(labeled, model)
     linked = link_candidates(scored, alias_ref, concurrency=concurrency)
-    linked, fp2 = cp.stage("scored_linked", {"threshold": threshold},
-                           lambda: linked, prev_fp=fp) if checkpoint_dir else (linked, fp)
+    linked, fp2 = cp.stage(
+        "scored_linked",
+        {"threshold": threshold, "kb_fp": kb_fp,
+         # the fitted model (hence every p) depends on the sample mode
+         "fit_sample_rows": fit_sample_rows,
+         "fit_sample_fraction": fit_sample_fraction},
+        lambda: linked, prev_fp=fp) if checkpoint_dir else (linked, fp)
 
     if canonicalize:
         # groupby on normalized entity keys + connected-component merge
@@ -161,6 +185,12 @@ def run_kg_pipeline(
                     b.column("obj_qid").combine_chunks()]),
             })
 
+        if checkpoint_dir is None:
+            # two consumers (edge view + the apply_mapping/triples
+            # pass) — pin once; with a checkpoint the stage parquet IS
+            # the materialization (round-4 review: the score+link chain
+            # re-executed and the edge shuffle hit the live chain)
+            linked = linked.materialize()
         cmap = canonical_entity_map(
             linked.map_batches(_edges_view, batch_format="pyarrow")).materialize()
 
@@ -192,8 +222,10 @@ def run_kg_pipeline(
 
     triples = materialize_triples(linked, threshold=threshold, out_dir=None)
     if checkpoint_dir:
-        triples, _ = cp.stage("triples", {"threshold": threshold},
-                              lambda: triples, prev_fp=fp2)
+        triples, _ = cp.stage(
+            "triples", {"threshold": threshold,
+                        "canonicalize": canonicalize},
+            lambda: triples, prev_fp=fp2)
     if out_dir is not None:
         from ..state.checkpoint import atomic_write_parquet
 

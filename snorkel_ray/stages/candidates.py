@@ -99,58 +99,61 @@ class CandidateExtractor:
         ments = self._scan(words, folded)
         if len(ments) < 2:
             return
-        for si in range(len(ments)):
-            for oi in range(si + 1, len(ments)):
-                sws, swe = ments[si]
-                ows, owe = ments[oi]
-                gap = ows - swe - 1
+        # per-mention span/text/key computed ONCE (the emit closure in
+        # the pair loop used to re-derive offsets and re-normalize keys
+        # already computed for the self-relation check — round-4 review)
+        spans = []
+        for ws, we in ments:
+            cs, ce = offs[ws], offs[we] + len(words[we])
+            mtext = text[cs:ce]
+            spans.append((ws, we, cs, ce, mtext, normalize_entity_key(mtext)))
+
+        def emit(a, b, pred, gap, between, pre, direction):
+            a_ws, a_we, a_cs, a_ce, a_text, a_key = a
+            b_ws, b_we, b_cs, b_ce, b_text, b_key = b
+            lo_cs = min(a_cs, b_cs)
+            hi_ce = max(a_ce, b_ce)
+            o["cand_stable_id"].append(
+                f"{url}::cand:{a0 + lo_cs}:{a0 + hi_ce}:"
+                f"{pred or 'none'}:{direction}"
+            )
+            o["doc_id"].append(doc_id)
+            o["url"].append(url)
+            o["sent_idx"].append(sent_idx)
+            o["sent_stable_id"].append(sid)
+            o["pred"].append(pred)
+            o["subj_text"].append(a_text)
+            o["subj_key"].append(a_key)
+            o["subj_word_start"].append(a_ws)
+            o["subj_word_end"].append(a_we)
+            o["obj_text"].append(b_text)
+            o["obj_key"].append(b_key)
+            o["obj_word_start"].append(b_ws)
+            o["obj_word_end"].append(b_we)
+            o["gap"].append(gap)
+            o["between_text"].append(between)
+            o["pre_text"].append(pre)
+            o["sent_text"].append(text)
+
+        for si in range(len(spans)):
+            subj = spans[si]
+            pre = " ".join(folded[:subj[0]])  # mentions are in order:
+            for oi in range(si + 1, len(spans)):  # min(a_ws,b_ws) = sws
+                obj = spans[oi]
+                gap = obj[0] - subj[1] - 1
                 if gap < 0 or gap > self.max_gap:
                     continue
-                s_cs0, s_ce0 = offs[sws], offs[swe] + len(words[swe])
-                o_cs0, o_ce0 = offs[ows], offs[owe] + len(words[owe])
                 # self-relations (same normalized entity) are dropped
                 # (reference self_relations=False default)
-                if normalize_entity_key(text[s_cs0:s_ce0]) == normalize_entity_key(
-                    text[o_cs0:o_ce0]
-                ):
+                if subj[5] == obj[5]:
                     continue
-                between = " ".join(folded[swe + 1 : ows])
+                between = " ".join(folded[subj[1] + 1:obj[0]])
                 pred = detect_predicate(between)
                 if not pred and self.cooccur_pred and gap <= self.cooccur_gap:
                     pred = self.cooccur_pred
-
-                def emit(a_ws, a_we, b_ws, b_we, direction):
-                    a_cs, a_ce = offs[a_ws], offs[a_we] + len(words[a_we])
-                    b_cs, b_ce = offs[b_ws], offs[b_we] + len(words[b_we])
-                    a_text = text[a_cs:a_ce]
-                    b_text = text[b_cs:b_ce]
-                    lo_cs = min(a_cs, b_cs)
-                    hi_ce = max(a_ce, b_ce)
-                    o["cand_stable_id"].append(
-                        f"{url}::cand:{a0 + lo_cs}:{a0 + hi_ce}:"
-                        f"{pred or 'none'}:{direction}"
-                    )
-                    o["doc_id"].append(doc_id)
-                    o["url"].append(url)
-                    o["sent_idx"].append(sent_idx)
-                    o["sent_stable_id"].append(sid)
-                    o["pred"].append(pred)
-                    o["subj_text"].append(a_text)
-                    o["subj_key"].append(normalize_entity_key(a_text))
-                    o["subj_word_start"].append(a_ws)
-                    o["subj_word_end"].append(a_we)
-                    o["obj_text"].append(b_text)
-                    o["obj_key"].append(normalize_entity_key(b_text))
-                    o["obj_word_start"].append(b_ws)
-                    o["obj_word_end"].append(b_we)
-                    o["gap"].append(gap)
-                    o["between_text"].append(between)
-                    o["pre_text"].append(" ".join(folded[:min(a_ws, b_ws)]))
-                    o["sent_text"].append(text)
-
-                emit(sws, swe, ows, owe, "f")
+                emit(subj, obj, pred, gap, between, pre, "f")
                 if self.both_orders:
-                    emit(ows, owe, sws, swe, "r")
+                    emit(obj, subj, pred, gap, between, pre, "r")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

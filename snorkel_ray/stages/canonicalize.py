@@ -176,11 +176,17 @@ def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):
         # component min-label is ALWAYS a prefixed qid, for every
         # possible key charset (a bare "!" prefix lost to keys starting
         # with space/control chars < 0x21 — round-4 review)
-        return pa.table({"src": pc.binary_join_element_wise(
+        out = pa.table({"src": pc.binary_join_element_wise(
             pa.array(["\x00"] * t.num_rows, pa.string()), t.column("qid"), ""),
             "dst": pc.binary_join_element_wise(
             pa.array(["\x01"] * t.num_rows, pa.string()),
             t.column("entity_key"), "")})
+        # per-batch distinct combiner: mentions repeat the same
+        # (qid, key) edge constantly, so dedup BEFORE the edge shuffle
+        # (CLAUDE.md perf rule 1 — don't feed the AllToAll the full
+        # mention stream when a tiny distinct set suffices)
+        return pa.Table.from_pandas(
+            out.to_pandas().drop_duplicates(), preserve_index=False)
 
     from ray.data.aggregate import Count
 

@@ -158,6 +158,16 @@ def posterior(L: np.ndarray, theta: np.ndarray, pi: float) -> np.ndarray:
     """P(y=+1 | λ) for an (n, K) int8 vote matrix — reference
     ``GenerativeModel.marginals`` ≈L600–700, closed form under the
     class-conditional categorical model."""
+    if L.size and L.shape[1] != theta.shape[0]:
+        # without this the K-mismatch surfaces as an opaque matmul
+        # ValueError inside a Ray task (round-4 review); K=0 means the
+        # model was fit on ZERO pattern rows
+        raise ValueError(
+            f"posterior: vote matrix has K={L.shape[1]} LFs but the "
+            f"model was fit with K={theta.shape[0]}"
+            + (" — the fit sample selected zero rows (check "
+               "fit_sample_rows / fit_sample_fraction)"
+               if theta.shape[0] == 0 else ""))
     lt = np.log(np.maximum(theta, 1e-300))
     logp_pos = np.full(L.shape[0], np.log(pi))
     logp_neg = np.full(L.shape[0], np.log1p(-pi))

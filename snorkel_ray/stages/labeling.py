@@ -125,31 +125,42 @@ def make_kg_lfs(facts: set[tuple[str, str, str]] | None,
                               dtype=bool, count=len(c["sent_text"]))
         return np.where(cue, -1, 0).astype(np.int8)
 
-    def _ds_votes(c, vote_known: int, vote_unknown: int) -> np.ndarray:
+    def _ds_state(c) -> np.ndarray:
+        """Tri-state per row (0 = no linked trigger pair, 1 = known
+        fact, 2 = linkable-but-unknown pair), memoized in the batch's
+        column dict so the known/unknown LF PAIR shares one pass of
+        the per-trigger-row lookup loop (round-4 review: it ran
+        twice per batch)."""
+        cached = c.get("_ds_state") if hasattr(c, "get") else None
+        if cached is not None:
+            return cached
         has = _has_pred(c)
-        out = np.zeros(len(has), dtype=np.int8)
+        state = np.zeros(len(has), dtype=np.int8)
         idx = np.flatnonzero(has)  # Python loop only over trigger rows
-        if len(idx) == 0:
-            return out
-        sk, p, ok = c["subj_key"], c["pred"], c["obj_key"]
-        for i in idx:
-            s = link_index.get(sk[i])
-            o = link_index.get(ok[i])
-            if s and o:
-                out[i] = vote_known if (s[0], p[i], o[0]) in facts else vote_unknown
-        return out
+        if len(idx):
+            sk, p, ok = c["subj_key"], c["pred"], c["obj_key"]
+            for i in idx:
+                s = link_index.get(sk[i])
+                o = link_index.get(ok[i])
+                if s and o:
+                    state[i] = 1 if (s[0], p[i], o[0]) in facts else 2
+        try:
+            c["_ds_state"] = state
+        except TypeError:
+            pass
+        return state
 
     @reg("lf_ds_known_pair", lfs)
     def lf_ds_known_pair(c):
         if facts is None or link_index is None:
             return np.zeros(len(c["pred"]), dtype=np.int8)
-        return np.where(_ds_votes(c, 1, 0) == 1, 1, 0).astype(np.int8)
+        return np.where(_ds_state(c) == 1, 1, 0).astype(np.int8)
 
     @reg("lf_ds_unknown_pair", lfs)
     def lf_ds_unknown_pair(c):
         if facts is None or link_index is None:
             return np.zeros(len(c["pred"]), dtype=np.int8)
-        return _ds_votes(c, 0, -1)
+        return np.where(_ds_state(c) == 2, -1, 0).astype(np.int8)
 
     return lfs
 

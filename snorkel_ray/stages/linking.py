@@ -57,7 +57,10 @@ class LinkerActor:
         # pandas factorize-take — much cheaper than a per-row dict loop.
         import pandas as pd
 
-        s = pd.Series(keys, dtype=object)
+        # null keys factorize to code -1, which would WRAP to the last
+        # unique's qid (round-4 review) — treat None as the unlinkable
+        # empty key instead
+        s = pd.Series(["" if k is None else k for k in keys], dtype=object)
         codes, uniques = pd.factorize(s, sort=False)
         u_qid = np.empty(len(uniques), dtype=object)
         u_score = np.zeros(len(uniques), dtype=np.float32)

@@ -214,3 +214,46 @@ def test_cc_distributed_long_chain_converges(ray_session):
         .set_index("node")["label"].to_dict()
     assert dist == exact
     assert all(v == "n000" for v in dist.values())
+
+
+def test_checkpoint_invalidates_on_kb_change(ray_session, tmp_path):
+    """Round-4 review: the labeled/scored checkpoints fingerprint the
+    alias table and facts KB — editing either must recompute, not
+    silently serve stale parquet."""
+    from snorkel_ray.pipelines.kg import run_kg_pipeline
+    from snorkel_ray.synth import alias_table, build_kb, pages_dataset
+
+    kb = build_kb(42)
+    root = str(tmp_path / "cp")
+    _, info1 = run_kg_pipeline(pages_dataset(120, 42), alias_table(kb),
+                               kb["facts"], checkpoint_dir=root)
+    assert all(not s["skipped"] for s in info1["stages"])
+
+    # unchanged rerun skips everything
+    _, info2 = run_kg_pipeline(pages_dataset(120, 42), alias_table(kb),
+                               kb["facts"], checkpoint_dir=root)
+    assert all(s["skipped"] for s in info2["stages"])
+
+    # a fact edit invalidates the labeled stage (and its descendants)
+    facts2 = list(kb["facts"]) + [("Qx", "born_in", "Qy")]
+    _, info3 = run_kg_pipeline(pages_dataset(120, 42), alias_table(kb),
+                               facts2, checkpoint_dir=root)
+    assert all(not s["skipped"] for s in info3["stages"])
+
+
+def test_linker_null_keys(ray_session):
+    """Null entity keys must link to '' (unlinked), not wrap to the
+    batch's last factorized key (round-4 review)."""
+    import ray
+
+    from snorkel_ray.stages.linking import LinkerActor
+    from snorkel_ray.synth import alias_table, build_kb
+
+    linker = LinkerActor(ray.put(alias_table(build_kb(42))))
+    real_key = None
+    for k in linker.index:
+        real_key = k
+        break
+    qids, _ = linker.link_keys([real_key, None, real_key])
+    assert qids[0] != "" and qids[1] == "" and qids[2] == qids[0]
+    assert linker.link_keys([None, None])[0] == ["", ""]
