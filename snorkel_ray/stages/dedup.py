@@ -403,7 +403,7 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
         batch_format="pyarrow").materialize()
     n_small = small_keys.count()
     if n_small:
-        if n_small <= 2_000_000:
+        if n_small <= 2_000_000 // max(cap, 1):
             key_ref = ray.put(small_keys.to_pandas()["bkey"].to_numpy())
 
             def _in_small(b: pa.Table) -> pa.Table:
@@ -413,9 +413,27 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
                 return pa.table({"bkey": t.column("bkey"),
                                  "doc": t.column("doc")})
 
-            small_rows = exploded.map_batches(_in_small,
-                                              batch_format="pyarrow")
-        else:  # planet-scale fallback: mark via the hash-join mapping
+            # the filtered member table is bounded by cap × n_small
+            # rows — emit the pairs on the DRIVER (a groupby +
+            # map_groups + union of a near-empty stream measured ~2.5 s
+            # of fixed shuffle/barrier cost on the sf0.1 micro)
+            sm = (exploded.map_batches(_in_small, batch_format="pyarrow")
+                  .to_pandas())
+            out_a, out_b = [], []
+            for _, g in sm.groupby("bkey"):
+                ids = sorted(g["doc"].unique())
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+            if out_a:
+                sdf = pd.DataFrame({
+                    "a": pd.Series(out_a, dtype=sm["doc"].dtype),
+                    "b": pd.Series(out_b, dtype=sm["doc"].dtype)})
+                small_pairs = rd.from_arrow(
+                    pa.Table.from_pandas(sdf, preserve_index=False))
+                pairs = pairs.union(small_pairs)
+        else:  # planet-scale fallback: distributed full-pairs path
             marked = apply_mapping(
                 exploded, small_keys.map_batches(
                     lambda b: b.append_column(
@@ -428,21 +446,20 @@ def lsh_bucket_pairs(sigs, id_column: str, *, bands: int = 16,
                     "doc": b.filter(pc.is_valid(b.column("_s"))).column("doc")}),
                 batch_format="pyarrow")
 
-        def _all_pairs(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(g["doc"].unique())
-            out_a, out_b = [], []
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-            return pd.DataFrame({"a": out_a, "b": out_b})
+            def _all_pairs(g: pd.DataFrame) -> pd.DataFrame:
+                ids = sorted(g["doc"].unique())
+                out_a, out_b = [], []
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                return pd.DataFrame({"a": out_a, "b": out_b})
 
-        small_pairs = (small_rows.groupby("bkey")
-                       .map_groups(_all_pairs, batch_format="pandas")
-                       # arrow blocks: a pandas/arrow mixed union trips
-                       # Ray's inferred block-type assertion
-                       .map_batches(lambda b: b, batch_format="pyarrow"))
-        pairs = pairs.union(small_pairs)
+            small_pairs = (small_rows.groupby("bkey")
+                           .map_groups(_all_pairs, batch_format="pandas")
+                           .map_batches(lambda b: b,
+                                        batch_format="pyarrow"))
+            pairs = pairs.union(small_pairs)
 
     if not dedup:
         # duplicate (a, b) rows from multiple shared bands survive —
