@@ -1530,18 +1530,22 @@ def q_embedding_topk(sf_dir: str):
     query, per-batch partial top-k, global merge)."""
     from snorkel_ray.stages.similarity import brute_force_topk
 
+    import pandas as pd
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = brute_force_topk(ds, _query_vec(sf_dir), k=10)
+    # fetch a margin past k, then SELECT the final 10 on the same
+    # (rounded cosine, vec_id) key the oracle orders by — selecting on
+    # raw cosine risked a different row at the k-boundary whenever two
+    # raw values round to the same 4-decimal bucket (round-4 review)
+    out = brute_force_topk(ds, _query_vec(sf_dir), k=26).to_pandas()
 
-    def _round(b: pa.Table) -> pa.Table:
-        from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.functions.exprs import duck_round
 
-        vals = [duck_round(v, 4) for v in b.column("cosine").to_pylist()]
-        return pa.table({"vec_id": b.column("vec_id"),
-                         "cosine_r": pa.array(vals, pa.float64())})
-
-    return out.map_batches(_round, batch_format="pyarrow").sort(
-        ["cosine_r", "vec_id"], descending=[True, False])
+    out["cosine_r"] = [duck_round(v, 4) for v in out["cosine"]]
+    out = (out.sort_values(["cosine_r", "vec_id"],
+                           ascending=[False, True], kind="mergesort")
+           .head(10).reset_index(drop=True))
+    return out[["vec_id", "cosine_r"]]
 
 
 # --- non-SQL-expressible ops (rows-only checks) ------------------------------
@@ -2021,10 +2025,16 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END
                      AS url FROM documents),
             s1 AS (SELECT regexp_replace(url, '#.*$', '') AS u FROM t),
-            s2 AS (SELECT regexp_replace(u,
-                   '[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+            s2a AS (SELECT regexp_replace(u,
+                   '\?((?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+', '?') AS u
                    FROM s1),
-            s3 AS (SELECT regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM s2),
+            s2b AS (SELECT regexp_replace(u,
+                   '&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+                   FROM s2a),
+            s2 AS (SELECT regexp_replace(u,
+                   '\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u
+                   FROM s2b),
+            s3 AS (SELECT regexp_replace(u, '\?$', '') AS u FROM s2),
             s4 AS (SELECT lower(regexp_extract(u,
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
                    || regexp_replace(u,

@@ -147,13 +147,18 @@ def json_extract(arr, key: str):
 
 
 def json_extract_double(arr, key: str):
+    """Missing/unparseable keys come back NULL (not NaN) so a Mean
+    aggregate skips them exactly as SQL ``avg`` skips NULL (round-4
+    review: NaN poisoned the whole group's mean)."""
     vals = arr.to_pylist() if hasattr(arr, "to_pylist") else list(arr)
     out = np.full(len(vals), np.nan)
+    mask = np.ones(len(vals), dtype=bool)  # True = null
     for i, v in enumerate(vals):
         try:
             d = json.loads(v) if v else {}
             if key in d and d[key] is not None:
                 out[i] = float(d[key])
+                mask[i] = False
         except (json.JSONDecodeError, TypeError, ValueError):
             pass
-    return pa.array(out, pa.float64())
+    return pa.array(out, pa.float64(), mask=mask)

@@ -257,11 +257,24 @@ class Concat(Matcher):
 
     @staticmethod
     def _split(span: Span, k: int) -> tuple[Span, Span]:
+        # children see REAL char offsets and the sliced tag/lemma
+        # arrays (round-4 review: attrib-based child matchers crashed
+        # on the missing arrays and the right child saw offsets (0,0))
         lw = span.words[:k]
         rw = span.words[k:]
-        left = Span(lw, span.char_start, span.char_start + sum(map(len, lw)) + k - 1,
-                    span.word_start, span.word_start + k - 1, " ".join(lw))
-        right = Span(rw, 0, 0, span.word_start + k, span.word_end, " ".join(rw))
+
+        def _s(t, lo, hi):
+            return None if t is None else t[lo:hi]
+
+        l_end = span.char_start + sum(map(len, lw)) + k - 1
+        left = Span(lw, span.char_start, l_end,
+                    span.word_start, span.word_start + k - 1, " ".join(lw),
+                    _s(span.pos_tags, 0, k), _s(span.ner_tags, 0, k),
+                    _s(span.lemmas, 0, k))
+        right = Span(rw, l_end + 1, span.char_end,
+                     span.word_start + k, span.word_end, " ".join(rw),
+                     _s(span.pos_tags, k, None), _s(span.ner_tags, k, None),
+                     _s(span.lemmas, k, None))
         return left, right
 
     def _f(self, span: Span) -> bool:

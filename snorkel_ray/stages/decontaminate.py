@@ -163,18 +163,20 @@ def collect_eval_ngrams(ds, text_col: str, *, n: int = 8,
                 out.extend(_ngram_strings(t, n))
         return pa.table({"ng": pa.array(sorted(set(out)), pa.string())})
 
-    from ray.data.aggregate import Count
-
-    distinct = (ds.map_batches(_explode, batch_format="pyarrow")
-                .groupby("ng").aggregate(Count(alias_name="_c")))
-    ngrams: list[str] = []
-    for b in distinct.iter_batches(batch_format="pyarrow"):
-        ngrams.extend(b.column("ng").to_pylist())
-        if len(ngrams) > max_ngrams:
+    # driver set-merge of the per-batch distinct partials — the result
+    # is driver-sized by contract (it becomes broadcast needles), so a
+    # groupby shuffle here only capped the fused chain (CLAUDE.md perf
+    # rule 1; round-4 review; eval_ngram_hashes below already used the
+    # driver-merge shape)
+    seen: set[str] = set()
+    for b in (ds.map_batches(_explode, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        seen.update(b.column("ng").to_pylist())
+        if len(seen) > max_ngrams:
             raise ValueError(
                 f"eval n-gram set exceeds max_ngrams={max_ngrams}; "
                 "use eval_ngram_hashes/build_eval_bloom for large eval sets")
-    return sorted(ngrams)
+    return sorted(seen)
 
 
 def eval_ngram_hashes(ds, text_col: str, *, n: int = 8) -> np.ndarray:

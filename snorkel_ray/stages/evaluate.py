@@ -34,6 +34,10 @@ def assign_split(ds, *, key: str = "url", buckets: tuple[float, float, float] = 
     cum = np.cumsum(buckets) / sum(buckets)
 
     def _assign(b: pa.Table) -> pa.Table:
+        # string keys (urls) are distinct per row, so a per-DISTINCT
+        # memo buys nothing; one C blake2b per row is the floor for a
+        # process-stable string hash (sampling.knuth_hash covers the
+        # vectorized INT-id case)
         keys = b.column(key).to_pylist()
         u = np.array([(hash64(f"{seed}:{k}") % 10_000) / 10_000 for k in keys])
         split = np.searchsorted(cum, u, side="right").astype(np.int32)
@@ -136,7 +140,10 @@ def score_vs_gold(scored, gold: pa.Table, *, threshold: float = 0.5) -> dict:
 
 def sample_candidates(ds, n: int = 10, *, seed: int = 7, frac_hint: float = 0.01):
     """Deterministic small sample for inspection: seeded random_sample
-    (cheap, streaming) topped up by limit."""
+    (cheap, streaming) CAPPED at ``n`` by limit.  ``limit`` cannot top
+    up an undersampled draw — when the corpus is small relative to
+    ``n / frac_hint`` the result may hold fewer than ``n`` rows; raise
+    ``frac_hint`` for small corpora."""
     return ds.random_sample(min(1.0, max(frac_hint, 0.0001)), seed=seed).limit(n)
 
 

@@ -148,8 +148,15 @@ class NaryCandidateExtractor:
                     for i in range(A):
                         group = self._same_matcher[i]
                         if len(group) > 1 and i == group[0]:
-                            starts = [combo[j].word_start for j in group]
-                            if starts != sorted(starts):
+                            # STRICTLY increasing full span keys: a bare
+                            # word_start sort let equal-start mirror
+                            # tuples (e.g. 'New' vs 'New York') emit in
+                            # both orders (round-4 review)
+                            keys = [(combo[j].word_start,
+                                     combo[j].word_end,
+                                     combo[j].char_start) for j in group]
+                            if any(keys[x] >= keys[x + 1]
+                                   for x in range(len(keys) - 1)):
                                 ok = False
                                 break
                 if not ok:

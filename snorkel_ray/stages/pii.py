@@ -74,8 +74,12 @@ def redact_pii(ds, column: str = "text", *,
                patterns: dict[str, tuple[str, str]] | None = None,
                stats: bool = False, batch_size: int | None = None):
     """Scrub PII from ``column``; see :class:`PiiRedactor`."""
+    # insertion ORDER is part of the redactor's semantics (phone can
+    # eat digit runs inside an address), so the cache key must keep it
+    # (round-4 review: sorting let two differently-ordered pattern
+    # dicts share one worker-cached redactor)
     key = (column, stats,
-           tuple(sorted(patterns.items())) if patterns is not None else None)
+           tuple(patterns.items()) if patterns is not None else None)
 
     def _redact(b: pa.Table) -> pa.Table:
         from ..state.resources import cache_get_or_build

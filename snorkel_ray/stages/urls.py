@@ -11,8 +11,10 @@ The normalization is a FIXED chain of RE2-compatible regex rewrites
 deliberate: it keeps the operator oracle-checkable):
 
 1. strip the ``#fragment``;
-2. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``);
-3. repair a dangling ``?``/leading ``&`` left by (2);
+2. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``) —
+   position-aware so a literal ``&`` in a query-less path is never
+   touched;
+3. strip a trailing dangling ``?`` (left by (1)/(2));
 4. lowercase the ``scheme://host[:port]`` prefix (path case is
    preserved — paths are case-sensitive);
 5. drop a ``www.`` host prefix;
@@ -36,8 +38,15 @@ __all__ = ["normalize_url", "normalize_urls", "extract_domain",
            "domain_stats"]
 
 _FRAG = re.compile(r"#.*$")
-_TRACK = re.compile(r"[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*")
-_DANGLE = re.compile(r"^([^?]*)&")
+# tracking-param removal that can never touch a literal '&' outside a
+# query (round-4 review: the old dangling-'&' repair rewrote the first
+# '&' of ANY query-less URL, corrupting &-in-path pages): leading run
+# keeps the '?', middle params drop with their '&', a lone/last param
+# drops with its '?'
+_TRACK_LEAD = re.compile(r"\?(?:(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+")
+_TRACK_MID = re.compile(r"&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*")
+_TRACK_END = re.compile(r"\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$")
+_DANGLE_Q = re.compile(r"\?$")
 _PREFIX = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*")
 _WWW = re.compile(r"^([a-z][a-z0-9+.-]*://)www\.")
 _SLASH = re.compile(r"/$")
@@ -47,8 +56,10 @@ _HOST = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://(?:www\.)?([^/:?#]+)")
 def normalize_url(u: str) -> str:
     """Apply the six-step canonicalization chain to one URL."""
     u = _FRAG.sub("", u)
-    u = _TRACK.sub("", u)
-    u = _DANGLE.sub(r"\1?", u, count=1)
+    u = _TRACK_LEAD.sub("?", u)
+    u = _TRACK_MID.sub("", u)
+    u = _TRACK_END.sub("", u)
+    u = _DANGLE_Q.sub("", u)  # '?#frag' leaves a bare trailing '?' 
     m = _PREFIX.match(u)
     if m:
         u = m.group(0).lower() + u[m.end():]

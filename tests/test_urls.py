@@ -27,6 +27,14 @@ def test_normalize_steps():
         "https://a.co/CaseSensitive"
     # non-URL strings pass through un-mangled
     assert normalize_url("not a url") == "not a url"
+    # round-4 review regressions: a literal & in a query-less path is
+    # NOT a dangling delimiter, and '?#frag' leaves no trailing '?'
+    assert normalize_url("https://site.com/a&b=1") == "https://site.com/a&b=1"
+    assert normalize_url("https://Site.com/a?#frag") == "https://site.com/a"
+    assert normalize_url("https://a.co/p?a=1&utm_x=2&b=3") == \
+        "https://a.co/p?a=1&b=3"
+    assert normalize_url("https://a.co/p?a=1&utm_x=2") == "https://a.co/p?a=1"
+    assert normalize_url("https://a.co/p?utm_a=1&utm_b=2") == "https://a.co/p"
 
 
 def test_extract_domain():
