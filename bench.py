@@ -87,8 +87,18 @@ def run_bench() -> dict:
     pages_path = f"/tmp/graft_bench/pages_v{SYNTH_VERSION}_{BENCH_PAGES}"
     marker = pages_path + ".done"
     if not os.path.exists(marker):
-        os.makedirs(pages_path, exist_ok=True)
-        pages_dataset(BENCH_PAGES, 42).write_parquet(pages_path)
+        # tmp + rename: a run killed mid-generation must not leave a
+        # partial file set that the next run's write_parquet APPENDS to
+        # (unique filenames) and read_parquet then double-reads
+        import shutil
+
+        tmp = pages_path + ".tmp"
+        for p in (tmp, pages_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        os.makedirs(tmp, exist_ok=True)
+        pages_dataset(BENCH_PAGES, 42).write_parquet(tmp)
+        os.replace(tmp, pages_path)
         with open(marker, "w") as f:
             f.write("ok")
     # warm the page cache with a REAL data read (count() alone answers

@@ -77,18 +77,23 @@ def get_tagged_text(row) -> str:
 
 
 def get_text_splits(row) -> tuple[str, str, str]:
-    """(text left of subj, text between, text right of obj)."""
+    """(text left of the FIRST span, text between, text right of the
+    LAST span) — position-aware: a reversed candidate (direction='r',
+    both_orders=True) stores the object BEFORE the subject, and the
+    naive subj-first slicing returned garbage for those (round-4
+    review)."""
     from ..stages.sentences import tokenize
 
     words, offs = tokenize(row.sent_text)
     text = row.sent_text
-    s_start = offs[int(row.subj_word_start)]
-    o_end_idx = int(row.obj_word_end)
-    o_end = offs[o_end_idx] + len(words[o_end_idx])
-    s_end_idx = int(row.subj_word_end)
-    s_end = offs[s_end_idx] + len(words[s_end_idx])
-    o_start = offs[int(row.obj_word_start)]
-    return text[:s_start], text[s_end:o_start], text[o_end:]
+    spans = sorted([(int(row.subj_word_start), int(row.subj_word_end)),
+                    (int(row.obj_word_start), int(row.obj_word_end))])
+    (a_ws, a_we), (b_ws, b_we) = spans
+    a_start = offs[a_ws]
+    a_end = offs[a_we] + len(words[a_we])
+    b_start = offs[b_ws]
+    b_end = offs[b_we] + len(words[b_we])
+    return text[:a_start], text[a_end:b_start], text[b_end:]
 
 
 def tokens_contain(tokens: Sequence[str], phrase: str) -> bool:

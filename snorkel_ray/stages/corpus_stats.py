@@ -52,7 +52,9 @@ DEFAULT_BROADCAST_LIMIT = 2_000_000  # rows, matching joins.py
 
 
 def _tokens(text: str) -> list[str]:
-    return [w for w in _TOKEN_RE.split(text.lower()) if w]
+    # null text tokenizes as empty (same guard family as line_counts'
+    # fill_null — round-4 review: ngram_counts crashed on None.lower())
+    return [w for w in _TOKEN_RE.split(text.lower()) if w] if text else []
 
 
 def line_counts(ds, column: str = "text", sep: str = "\n"):
@@ -96,6 +98,13 @@ def remove_frequent_lines(ds, column: str = "text", sep: str = "\n", *,
     by ``sep``; with ``stats=True`` also appends ``n_kept_lines`` /
     ``n_removed_lines`` int64 columns (handy for oracle checks and
     removal-rate monitoring).
+
+    SCALE NOTE: the above-``broadcast_limit`` path regroups per
+    DOCUMENT (one pandas group each) and ships each row's payload once
+    per line — workable, but prefer raising ``min_docs`` (the frequent
+    set shrinks fast) or projecting to (id, text) first so the
+    broadcast path applies; a fully fold-back-local above-limit plan
+    is future work.
 
     The frequent set is computed distributed by :func:`line_counts`.
     Application: broadcast membership test while the set has ≤
@@ -156,16 +165,23 @@ def remove_frequent_lines(ds, column: str = "text", sep: str = "\n", *,
         # second pass over ds is needed.  NOTE: this ships every row's
         # payload once per LINE; for wide rows project down to
         # (id, text) before this path and re-attach payloads by id.
+        import hashlib
         import pickle
-        import uuid
 
-        tag = uuid.uuid4().hex
         rows = b.to_pylist()
         uid, idx, lines, blobs = [], [], [], []
+        # DETERMINISTIC block tag (content hash): a uuid here made the
+        # task's output nondeterministic, so a lineage-reconstructed
+        # block regrouped under fresh uids and duplicated documents
+        # (round-4 review).  Byte-identical BLOCKS now collide — the
+        # same documented caveat family as write_jsonl's shard names.
+        blobs_all = [pickle.dumps(row) for row in rows]
+        tag = hashlib.blake2b(b"".join(blobs_all),
+                              digest_size=8).hexdigest()
         for r, row in enumerate(rows):
             # pickled payload: Arrow's hash join rejects struct
             # non-key fields, so the row rides as opaque bytes
-            blob = pickle.dumps(row)
+            blob = blobs_all[r]
             for j, ln in enumerate((row[column] or "").split(sep)):
                 uid.append(f"{tag}:{r}")
                 idx.append(j)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
+import numpy as np
 import pyarrow as pa
 
 FeatureFn = Callable[[dict], Iterator[str]]
@@ -44,6 +45,16 @@ def default_candidate_features(row: dict) -> Iterator[str]:
 _FEAT_COLS = ("between_text", "gap", "subj_text", "obj_text", "pre_text", "pred")
 
 
+def _feature_rows(batch: pa.Table, feature_fn) -> list[dict]:
+    """Row dicts for ``feature_fn``: the DEFAULT fn reads only
+    ``_FEAT_COLS`` (cheap projection); a CUSTOM fn sees every column
+    (round-4 review: the hard-coded projection broke any extension fn
+    reading other candidate columns)."""
+    if feature_fn is default_candidate_features:
+        return batch.select(list(_FEAT_COLS)).to_pylist()
+    return batch.to_pylist()
+
+
 def build_feature_vocab(candidates, *, feature_fn: FeatureFn = default_candidate_features,
                         max_vocab: int = 100_000, min_count: int = 1) -> dict[str, int]:
     """Pass 1: distributed name counting → driver-side id assignment
@@ -52,8 +63,7 @@ def build_feature_vocab(candidates, *, feature_fn: FeatureFn = default_candidate
 
     def _names(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
-        rows = batch.select(list(_FEAT_COLS)).to_pylist()
-        for row in rows:
+        for row in _feature_rows(batch, feature_fn):
             for name in feature_fn(row):
                 counts[name] = counts.get(name, 0) + 1
         ks = list(counts)
@@ -64,16 +74,30 @@ def build_feature_vocab(candidates, *, feature_fn: FeatureFn = default_candidate
 
     agg = (candidates.map_batches(_names, batch_format="pyarrow")
            .groupby("name").aggregate(Sum("n", alias_name="n")))
-    # top-k INSIDE the Dataset (filter → distributed sort → limit):
-    # only max_vocab rows ever reach the driver — the full distinct
-    # feature-name table at web scale is far larger than the vocab cap
-    top = (agg.map_batches(
+    # top-max_vocab via per-batch partial top-k + driver merge (the
+    # corpus_stats.top_ngrams shape): the old distributed sort+limit
+    # appended a second AllToAll over the distinct-name table purely to
+    # take the cap (CLAUDE.md perf rule 1; round-4 review)
+    filtered = agg.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
         batch_format="pyarrow")
-        .sort(["n", "name"], descending=[True, False])
-        .limit(max_vocab))
-    df = top.to_pandas()
-    return {name: i for i, name in enumerate(df["name"])}
+
+    def _take_k(t: pa.Table) -> pa.Table:
+        cnt = np.asarray(t.column("n"))
+        names = np.asarray(t.column("name"))
+        order = np.lexsort((names, -cnt))[:max_vocab]
+        return t.take(pa.array(order))
+
+    buf: pa.Table | None = None
+    for b in (filtered.map_batches(_take_k, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        buf = b if buf is None else pa.concat_tables([buf, b])
+        if buf.num_rows > 2 * max_vocab:
+            buf = _take_k(buf)
+    if buf is None or buf.num_rows == 0:
+        return {}
+    buf = _take_k(buf)
+    return {name: i for i, name in enumerate(buf.column("name").to_pylist())}
 
 
 _VOCAB_CACHE: dict = {}
@@ -97,7 +121,7 @@ def featurize(candidates, vocab: dict[str, int], *,
 
         local_vocab = cache_get_or_build(_VOCAB_CACHE, key,
                                          lambda: ray.get(v_ref))
-        rows = batch.select(list(_FEAT_COLS)).to_pylist()
+        rows = _feature_rows(batch, feature_fn)
         feats = []
         for row in rows:
             ids = {local_vocab[n] for n in feature_fn(row) if n in local_vocab}

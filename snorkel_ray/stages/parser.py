@@ -61,8 +61,39 @@ def parse_docs(docs, parser: Parser | None = None, *, batch_size: int | None = N
             from ..state.resources import pool_concurrency
 
             concurrency = pool_concurrency()
-        cls = type(parser)
-        return docs.map_batches(cls, batch_format="pyarrow", batch_size=batch_size,
+        # heavy state is built ONCE PER ACTOR via a builder callable:
+        # zero-arg parser classes build in __init__ (the protocol
+        # default); parsers with constructor arguments must provide
+        # build_per_actor() returning a configured instance — the old
+        # bare type(parser)() silently re-instantiated with defaults,
+        # dropping the model choice / fn hook (round-4 review)
+        builder = getattr(parser, "build_per_actor", None)
+        if builder is None:
+            import inspect
+
+            cls = type(parser)
+            required = [
+                p.name for p in inspect.signature(cls).parameters.values()
+                if p.default is p.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD,
+                               p.KEYWORD_ONLY)]
+            if required:
+                raise TypeError(
+                    f"heavy parser {cls.__name__} takes required "
+                    f"constructor args {required}; provide a "
+                    "build_per_actor() method returning the configured "
+                    "instance so each actor can build its own state")
+            builder = cls
+
+        class _ParserActor:
+            def __init__(self, b):
+                self.parser = b()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return self.parser(batch)
+
+        return docs.map_batches(_ParserActor, fn_constructor_args=(builder,),
+                                batch_format="pyarrow", batch_size=batch_size,
                                 concurrency=concurrency)
 
     # light parser: the object itself ships in the task closure (small

@@ -111,10 +111,20 @@ def _multi_level(ds, keys, groupings, spec, all_label):
         if kept:
             lvl = fine.groupby(kept).aggregate(*_aggs(spec, from_fine=True))
         else:
-            # grand total: global aggregate returns a dict-like row
+            # grand total: global aggregate returns a dict-like row —
+            # or None on an EMPTY dataset (round-4 review; verified in
+            # this Ray version), where SQL ROLLUP/CUBE still emits one
+            # grand-total row: count 0, sum/min/max NULL
             import ray.data as rd
 
             row = fine.aggregate(*_aggs(spec, from_fine=True))
+            if row is None:
+                row = {}
+            # empty input: Ray yields None (or a None-valued dict) —
+            # SQL's grand total is count 0, sum/min/max NULL
+            row = {name: (0 if row.get(name) is None and op == "count"
+                          else row.get(name))
+                   for name, (op, _c) in spec.items()}
             lvl = rd.from_arrow(pa.table(
                 {name: [row[name]] for name in value_cols}))
         levels.append(lvl.map_batches(_with_all(missing),

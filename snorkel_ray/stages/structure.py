@@ -27,8 +27,14 @@ def _moments_batch(batch: pa.Table) -> pa.Table:
     K = flat.size // max(n, 1) if n else 0
     M = flat.reshape(n, K).astype(np.float64) if n else np.zeros((0, 0))
     nz = (M != 0).astype(np.float64)
-    agree = ((M[:, :, None] == M[:, None, :]) &
-             (M[:, :, None] != 0)).sum(axis=0).astype(np.float64) if n else np.zeros((K, K))
+    # agree via one K x K matmul per distinct label value: the old
+    # (n, K, K) boolean broadcast materialized rows x K^2 temporaries
+    # (~GBs per default block at K ~ 40 — round-4 review); this stays
+    # O(n*K + K^2)
+    agree = np.zeros((K, K))
+    for v in (-1, 1):
+        Nv = (M == v).astype(np.float64)
+        agree += Nv.T @ Nv
     cofire = nz.T @ nz
     fire = nz.sum(axis=0)
     return pa.table({

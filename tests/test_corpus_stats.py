@@ -108,3 +108,10 @@ def test_line_counts_null_text_rows():
                .to_pandas().sort_values("doc_id"))
     # "a" is frequent (2 docs); the null row becomes an empty doc
     assert cleaned.text.tolist() == ["b", "", ""]
+
+
+def test_ngram_counts_null_text():
+    t = pa.table({"doc_id": [0, 1], "text": pa.array(["a b", None])})
+    ds = ray.data.from_arrow(t)
+    out = ngram_counts(ds, "text", n=1).to_pandas().set_index("ngram")
+    assert out.loc["a", "n"] == 1 and out.loc["b", "n"] == 1

@@ -94,3 +94,18 @@ def test_lf_helpers():
     assert left == "" and between == " was founded by " and right == " yesterday."
     assert tokens_contain(["a", "B", "c"], "b c")
     assert not tokens_contain(["a", "b"], "b c")
+
+
+def test_get_text_splits_reversed_candidate():
+    """direction='r' candidates store the object BEFORE the subject;
+    the splits must be position-aware (round-4 review)."""
+    from snorkel_ray.functions.lf_helpers import get_text_splits
+
+    class Row:
+        sent_text = "Acme Corp was founded by Robert Smith yesterday."
+        subj_word_start, subj_word_end = 5, 6  # Robert Smith (subject)
+        obj_word_start, obj_word_end = 0, 1    # Acme Corp (object)
+
+    left, between, right = get_text_splits(Row())
+    assert left == "" and between == " was founded by " \
+        and right == " yesterday."

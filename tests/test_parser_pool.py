@@ -68,3 +68,43 @@ def test_heavy_parser_builds_state_once_per_actor(ray_session):
         assert n_inits < n_batches // 4
     finally:
         ray.kill(counter)
+
+
+def test_heavy_parser_with_args_requires_builder(ray_session):
+    """A configured heavy parser must not be silently re-instantiated
+    with defaults (round-4 review): required ctor args without a
+    build_per_actor() raise; providing one ships the config."""
+    import pytest
+    import ray.data as rd
+
+    from snorkel_ray.stages.parser import RuleParser, parse_docs
+
+    class ConfiguredParser:
+        heavy = True
+
+        def __init__(self, model_name):
+            self.model_name = model_name
+            self.inner = RuleParser()
+
+        def __call__(self, batch):
+            return self.inner(batch)
+
+    docs = rd.from_items([{"doc_id": 1, "url": "u", "text": "One. Two.",
+                           "meta_json": "{}"}])
+    with pytest.raises(TypeError, match="build_per_actor"):
+        parse_docs(docs, ConfiguredParser("big-model"))
+
+    class BuildableParser(ConfiguredParser):
+        def build_per_actor(self):
+            name = self.model_name
+
+            def _build():
+                return ConfiguredParser(name)
+
+            return _build()
+
+    # build_per_actor returning a configured instance works
+    p = BuildableParser("big-model")
+    p.build_per_actor = lambda: ConfiguredParser("big-model")  # recipe
+    out = parse_docs(docs, p, concurrency=(1, 1)).to_pandas()
+    assert len(out) == 2

@@ -72,3 +72,21 @@ def test_cube_matches_pandas(ray_session):
     assert got[("ALL", "p")] == (3, 8.0)
     assert got[("ALL", "q")] == (2, 7.0)
     assert got[("ALL", "ALL")] == (5, 15.0)
+
+
+def test_rollup_empty_input_grand_total():
+    """SQL ROLLUP on an empty table still emits the grand-total row
+    (count 0, sum NULL) — the empty aggregate used to return None and
+    crash (round-4 review)."""
+    import ray
+
+    from snorkel_ray.stages.rollup import rollup_aggregate
+
+    empty = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.string()), "v": pa.array([], pa.float64())}))
+    out = (rollup_aggregate(empty, ["a"],
+                            {"n": ("count", "a"), "s": ("sum", "v")})
+           .to_pandas())
+    assert len(out) == 1
+    assert out.n.iloc[0] == 0
+    assert pd.isna(out.s.iloc[0])
