@@ -1571,6 +1571,26 @@ def q_curation_funnel(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_curation_funnel_sharded(sf_dir: str):
+    """The curation funnel through the shard-resumable runner — same
+    SQL oracle as ``curation_funnel`` (sharded == streaming is the
+    contract under test)."""
+    import shutil
+    import tempfile
+
+    from snorkel_ray.state.sharded import run_curation_sharded
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="graft_curation_sharded_")
+    try:
+        kept, _report, _m = run_curation_sharded(
+            ds, root, num_shards=4,
+            needles=["slow fast", "big vector"], dedup=True)
+        return kept.select_columns(["doc_id"]).sort("doc_id").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_minhash_dedup_sharded(sf_dir: str):
     """Shard-resumable near-dedup: per-shard signature persistence +
     one global banding pass (rows-only; must yield the same cluster
@@ -1814,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_histogram": q_order_price_histogram,
         "order_price_quartiles": q_order_price_quartiles,
         "event_value_range_sum": q_event_value_range_sum,
+        "curation_funnel_sharded": q_curation_funnel_sharded,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2202,6 +2223,15 @@ def oracle_sql() -> dict[str, str]:
                      + 1, 0), 8) AS BIGINT) AS bucket,
                    count(*) AS n
             FROM orders GROUP BY bucket ORDER BY bucket""",
+        "curation_funnel_sharded": """
+            WITH clean AS (
+              SELECT doc_id, text FROM documents
+              WHERE NOT contains(text, 'slow fast')
+                AND NOT contains(text, 'big vector'))
+            SELECT doc_id FROM clean c
+            WHERE doc_id = (SELECT min(doc_id) FROM clean c2
+                            WHERE c2.text = c.text)
+            ORDER BY doc_id""",
         "curation_funnel": """
             WITH clean AS (
               SELECT doc_id, text FROM documents

@@ -25,23 +25,15 @@ KEPT = "kept"  # sentinel (not null: null group keys break a sort-based
 #               groupby on mixed-object pandas blocks)
 
 
-def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
-                lang: str | None = None, min_quality: float | None = None,
-                gopher: bool = False, needles: list[str] | None = None,
-                dedup: bool = True, reason_col: str = "drop_reason",
-                gopher_thresholds: dict | None = None):
-    """→ (kept Dataset, funnel report dict).
-
-    ``report`` maps each drop reason (in applied order) to its document
-    count, plus ``n_input`` / ``n_kept``.  A document dropped by an
-    early stage is not charged to later ones (first-fail semantics, the
-    standard funnel accounting)."""
-    import pyarrow.compute as pc
-
-    from ray.data.aggregate import Count, Min
-
-    from ..stages.joins import apply_mapping
-
+def annotate_docs(docs, *, column: str = "text",
+                  lang: str | None = None, min_quality: float | None = None,
+                  gopher: bool = False, needles: list[str] | None = None,
+                  reason_col: str = "drop_reason",
+                  gopher_thresholds: dict | None = None):
+    """The funnel's MAP-ONLY phase: stamp ``reason_col`` (first-fail)
+    for the lang/quality/Gopher/decontamination gates.  Embarrassingly
+    parallel — this is the per-shard portion of the resumable runner
+    (:func:`run_curation_sharded` in ``state/sharded.py``)."""
     ds = docs
 
     # --- one fused annotate chain -------------------------------------
@@ -103,6 +95,34 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
                     .drop_columns(["_contam"]))
 
         ds = ds.map_batches(_fold_contam, batch_format="pyarrow")
+
+    return ds
+
+
+def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
+                lang: str | None = None, min_quality: float | None = None,
+                gopher: bool = False, needles: list[str] | None = None,
+                dedup: bool = True, reason_col: str = "drop_reason",
+                gopher_thresholds: dict | None = None,
+                pre_annotated: bool = False):
+    """→ (kept Dataset, funnel report dict).
+
+    ``report`` maps each drop reason (in applied order) to its document
+    count, plus ``n_input`` / ``n_kept``.  A document dropped by an
+    early stage is not charged to later ones (first-fail semantics, the
+    standard funnel accounting).  ``pre_annotated=True`` skips the
+    annotate phase (``docs`` already carries ``reason_col`` — the
+    sharded runner's global step)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.joins import apply_mapping
+
+    ds = docs if pre_annotated else annotate_docs(
+        docs, column=column, lang=lang, min_quality=min_quality,
+        gopher=gopher, needles=needles, reason_col=reason_col,
+        gopher_thresholds=gopher_thresholds)
 
     # --- exact dedup among funnel survivors (bounded shuffle on the
     # 128-bit content hash; winner = MIN id, deterministic) ------------

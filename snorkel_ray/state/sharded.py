@@ -396,3 +396,81 @@ def run_minhash_dedup_sharded(
                              threshold=threshold, seed=seed,
                              pin_exploded=pin_exploded, sigs=sigs)
     return clusters, manifests
+
+
+def run_curation_sharded(
+    pages,
+    root: str,
+    *,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_shards: int = 4,
+    lang: str | None = None,
+    min_quality: float | None = None,
+    gopher: bool = False,
+    needles: list[str] | None = None,
+    dedup: bool = True,
+    gopher_thresholds: dict | None = None,
+    input_fingerprint: str = "pages",
+    input_paths: list[str] | None = None,
+):
+    """Shard-resumable curation funnel: the MAP-ONLY annotate phase
+    (lang/quality/Gopher/decontamination drop_reason stamping — the
+    expensive per-document tokenization/feature work) runs per shard
+    with skip-on-manifest-match and persists annotated parquet; the
+    global step (exact dedup among survivors + per-reason report) runs
+    over the shard outputs via :func:`pipelines.curation.curate_docs`
+    with ``pre_annotated=True``, so sharded == streaming by
+    construction.  → (kept Dataset, report dict, per-shard manifests).
+    """
+    import ray.data as rd
+
+    from ..pipelines.curation import annotate_docs, curate_docs
+
+    def build(shard_ds):
+        return annotate_docs(shard_ds, column=column, lang=lang,
+                             min_quality=min_quality, gopher=gopher,
+                             needles=needles,
+                             gopher_thresholds=gopher_thresholds)
+
+    if input_paths is not None:
+        from pyarrow.fs import LocalFileSystem
+
+        groups = shard_paths(input_paths, num_shards)
+        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem()),
+                   shard_input_token(g))
+                  for i, g in enumerate(groups)]
+    else:
+        tok = f"rows={pages.count()}"  # see run_sharded_stage fallback note
+
+        def _filter(s: int):
+            def _f(b: pa.Table) -> pa.Table:
+                import numpy as np
+
+                ids = b.column(id_column).to_pylist()
+                keep = np.fromiter(
+                    ((hash64(str(u)) % num_shards) == s for u in ids),
+                    dtype=bool, count=len(ids))
+                return b.filter(pa.array(keep))
+
+            return _f
+
+        shards = [(s, pages.map_batches(_filter(s), batch_format="pyarrow"),
+                   tok) for s in range(num_shards)]
+
+    dirs, manifests = run_sharded_stage(
+        pages, root, "curation_annotated", build, num_shards=num_shards,
+        params={"lang": lang, "min_quality": min_quality, "gopher": gopher,
+                "needles": sorted(needles) if needles else None,
+                "gopher_thresholds": sorted((gopher_thresholds or {}).items()),
+                "column": column},
+        input_fingerprint=input_fingerprint, shards=shards)
+
+    from pyarrow.fs import LocalFileSystem
+
+    annotated = rd.read_parquet(_shard_parquet_files(dirs),
+                                filesystem=LocalFileSystem())
+    kept, report = curate_docs(annotated, column=column,
+                               id_column=id_column, dedup=dedup,
+                               pre_annotated=True)
+    return kept, report, manifests

@@ -80,3 +80,38 @@ def test_curation_dedup_with_hash_range_ids(ray_session):
     ids = sorted(kept.to_pandas().doc_id.astype(np.uint64))
     assert ids == [2**53 + 1, 2**63 + 7]  # exact min wins
     assert report["duplicate"] == 1
+
+
+def test_curation_sharded_equals_streaming(ray_session, tmp_path):
+    """Per-shard annotate + global dedup must yield exactly the
+    streaming funnel's kept set and report, and a rerun must skip
+    every annotate shard."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from snorkel_ray.state.sharded import run_curation_sharded
+
+    rows = _docs().to_pandas()
+    t = pa.Table.from_pandas(rows, preserve_index=False)
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"docs{s}.parquet")
+        pq.write_table(t.slice(s * 5, 5 if s == 0 else 4), p)
+        paths.append(p)
+    pages = rd.read_parquet(paths)
+
+    kw = dict(lang="en", min_quality=0.3,
+              needles=["secret eval answer"], dedup=True)
+    stream_kept, stream_report = curate_docs(pages, **kw)
+    root = str(tmp_path / "cur")
+    kept, report, manifests = run_curation_sharded(
+        pages, root, num_shards=2, input_paths=paths, **kw)
+    assert report == stream_report
+    assert sorted(kept.to_pandas().doc_id) == \
+        sorted(stream_kept.to_pandas().doc_id)
+    assert all(not m["skipped"] for m in manifests)
+
+    kept2, report2, manifests2 = run_curation_sharded(
+        pages, root, num_shards=2, input_paths=paths, **kw)
+    assert all(m["skipped"] for m in manifests2)
+    assert report2 == stream_report
