@@ -1591,6 +1591,17 @@ def q_curation_funnel_sharded(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_document_packing(sf_dir: str):
+    """Sequence packing for pretraining batches (rows-only: greedy
+    first-fit has no SQL analog; budget/determinism pinned by pytest)."""
+    from snorkel_ray.stages.sampling import pack_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (pack_documents(ds, token_budget=2048)
+            .select_columns(["doc_id", "n_tokens", "pack_id", "pack_slot"])
+            .sort("doc_id"))
+
+
 def q_minhash_dedup_sharded(sf_dir: str):
     """Shard-resumable near-dedup: per-shard signature persistence +
     one global banding pass (rows-only; must yield the same cluster
@@ -1844,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
         "minhash_dedup_sharded": q_minhash_dedup_sharded,
+        "document_packing": q_document_packing,
         "text_analysis": q_text_analysis,
         "ivf_topk": q_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,

@@ -158,3 +158,64 @@ def split_by_hash(ds, id_col: str, fractions: dict[str, float],
                                pa.array(labels.tolist(), pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def pack_documents(ds, *, column: str = "text", token_budget: int = 2048,
+                   id_column: str = "doc_id", count_tokens=None):
+    """Sequence packing for pretraining batches: greedily first-fit
+    documents into packs of ≤ ``token_budget`` whitespace tokens
+    (pass ``count_tokens`` for a real tokenizer's counts), appending
+    ``n_tokens`` / ``pack_id`` / ``pack_slot`` columns.
+
+    Packing is PER BLOCK on purpose: a globally optimal bin packing is
+    NP-hard and needs a global shuffle, while per-block greedy first-fit
+    wastes only O(1/blocks) of the budget at corpus scale and keeps the
+    operator a streaming map.  ``pack_id`` is globally unique and
+    deterministic (block content hash + local pack index), so re-runs
+    and lineage reconstruction produce identical assignments.
+    Documents longer than the budget get a singleton pack (truncation
+    is the trainer's policy decision, not the packer's).
+    """
+    import hashlib
+
+    if count_tokens is None:
+        def count_tokens(t: str) -> int:
+            return len(t.split()) if t else 0
+
+    def _pack(b: pa.Table) -> pa.Table:
+        texts = b.column(column).to_pylist()
+        n_tok = np.fromiter((count_tokens(t) for t in texts),
+                            dtype=np.int64, count=len(texts))
+        ids = b.column(id_column).to_pylist()
+        tag = hashlib.blake2b(
+            ("\x1f".join(str(i) for i in ids)).encode(),
+            digest_size=8).hexdigest()
+        # greedy first-fit decreasing over open bins (bounded: bins
+        # close once they cannot fit the smallest remaining doc)
+        order = np.argsort(-n_tok, kind="stable")
+        bins: list[int] = []        # remaining capacity per open pack
+        assign = np.zeros(len(texts), dtype=np.int64)
+        slot = np.zeros(len(texts), dtype=np.int32)
+        counts: list[int] = []
+        for i in order:
+            need = int(n_tok[i])
+            placed = False
+            for p, cap in enumerate(bins):
+                if need <= cap:
+                    bins[p] = cap - need
+                    assign[i] = p
+                    slot[i] = counts[p]
+                    counts[p] += 1
+                    placed = True
+                    break
+            if not placed:
+                bins.append(max(token_budget - need, 0))
+                counts.append(1)
+                assign[i] = len(bins) - 1
+                slot[i] = 0
+        pack_ids = [f"{tag}:{p}" for p in assign]
+        return (b.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+                .append_column("pack_id", pa.array(pack_ids, pa.string()))
+                .append_column("pack_slot", pa.array(slot, pa.int32())))
+
+    return ds.map_batches(_pack, batch_format="pyarrow")

@@ -89,3 +89,33 @@ def test_split_by_hash_validates_fractions():
         split_by_hash(_ds(10), "id", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         hash_sample(_ds(10), "id", 1.5)
+
+
+def test_pack_documents_budget_and_determinism(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.sampling import pack_documents
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(["w"] * int(n))
+             for n in rng.integers(10, 900, 200)]
+    texts.append(" ".join(["w"] * 5000))  # over-budget singleton
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(t).repartition(3)
+
+    out = pack_documents(ds, token_budget=1024).to_pandas()
+    assert len(out) == len(texts)
+    sums = out.groupby("pack_id").n_tokens.sum()
+    over = sums[sums > 1024]
+    # only the oversized singleton's pack may exceed the budget
+    assert len(over) == 1 and over.iloc[0] == 5000
+    members = out.groupby("pack_id").size()
+    big = out[out.n_tokens == 5000].pack_id.iloc[0]
+    assert members[big] == 1
+    # slots are 0..m-1 within each pack
+    for _, g in out.groupby("pack_id"):
+        assert sorted(g.pack_slot) == list(range(len(g)))
+    # deterministic across runs
+    out2 = pack_documents(ds, token_budget=1024).to_pandas()
+    assert out.sort_values("doc_id").pack_id.tolist() == \
+        out2.sort_values("doc_id").pack_id.tolist()
