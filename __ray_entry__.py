@@ -386,6 +386,20 @@ def q_decontaminate_docs(sf_dir: str):
             .sort("lang"))
 
 
+def q_proportional_sample_orders(sf_dir: str):
+    """Data-mixing sampler: exact per-priority quotas, deterministic
+    bottom-k by (knuth hash, id) — oracle via the identical
+    row_number() OVER (PARTITION ... ORDER BY hash, id) ranking."""
+    from snorkel_ray.stages.sampling import proportional_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    targets = {"1-URGENT": 200, "3-MEDIUM": 120, "5-LOW": 50}
+    return (proportional_sample(ds, "o_orderpriority", "o_orderkey",
+                                targets)
+            .select_columns(["o_orderkey", "o_orderpriority"])
+            .sort("o_orderkey"))
+
+
 def q_sample_orders_fraction(sf_dir: str):
     """Deterministic 10% Bernoulli sample by Knuth hash of o_orderkey
     (SQL-replicable, partition-invariant), aggregated per priority."""
@@ -1838,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": q_lineitem_cube,
         "churned_customers": q_churned_customers,
         "stratified_sample_customers": q_stratified_sample_customers,
+        "proportional_sample_orders": q_proportional_sample_orders,
         "bottom_k_sample_orders": q_bottom_k_sample_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_daily_counts": q_events_daily_counts,
@@ -2118,6 +2133,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "proportional_sample_orders": """
+            WITH ranked AS (
+              SELECT o_orderkey, o_orderpriority,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY (o_orderkey * 2654435761) % 4294967296,
+                                o_orderkey) AS rn
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW'))
+            SELECT o_orderkey, o_orderpriority FROM ranked
+            WHERE rn <= CASE o_orderpriority
+                          WHEN '1-URGENT' THEN 200
+                          WHEN '3-MEDIUM' THEN 120
+                          ELSE 50 END
+            ORDER BY o_orderkey""",
         "sample_orders_fraction": """
             SELECT o_orderpriority, count(*) AS n_sampled,
                    round(sum(o_totalprice), 2) AS sum_price

@@ -35,6 +35,7 @@ training-data-pipeline family.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 __all__ = [
@@ -219,3 +220,44 @@ def pack_documents(ds, *, column: str = "text", token_budget: int = 2048,
                 .append_column("pack_slot", pa.array(slot, pa.int32())))
 
     return ds.map_batches(_pack, batch_format="pyarrow")
+
+
+def proportional_sample(ds, key: str, id_col: str,
+                        targets: dict[str, int], *, seed: int = 0):
+    """Data-mixing sampler (domain re-weighting for pretraining): keep
+    EXACTLY ``targets[key]`` rows per key — the per-key bottom-k by
+    ``(knuth_hash(id), id)``, so the draw is uniform within a key,
+    without replacement, deterministic, partition-invariant, and
+    SQL-replicable (``row_number() OVER (PARTITION BY key ORDER BY
+    hash, id) <= k``).  Keys absent from ``targets`` are dropped; a
+    target larger than the key's population keeps every row.
+
+    Plan (skew-safe): per-batch, per-key partial bottom-k (a hot key
+    ships ≤ k rows per block, never its population) → one bounded
+    per-key head over the partial table.  Compose with a counts
+    groupby upstream to derive ``targets`` from fractions.
+    """
+    import ray
+
+    t_ref = ray.put({k: int(v) for k, v in targets.items()})
+
+    def _partial(b: pa.Table) -> pa.Table:
+        tmap = ray.get(t_ref)
+        df = b.to_pandas()
+        df = df[df[key].isin(tmap)]
+        if not len(df):
+            return pa.Table.from_pandas(df.assign(_h=np.array([], np.uint64)),
+                                        preserve_index=False)
+        df["_h"] = knuth_hash(df[id_col].to_numpy(), seed)
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        df = df.groupby(key, sort=False, group_keys=False).apply(
+            lambda g: g.head(tmap[g.name]))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        tmap = ray.get(t_ref)
+        g = g.sort_values(["_h", id_col], kind="mergesort")
+        return g.head(tmap[g[key].iloc[0]]).drop(columns=["_h"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    return partial.groupby(key).map_groups(_final, batch_format="pandas")

@@ -119,3 +119,25 @@ def test_pack_documents_budget_and_determinism(ray_session):
     out2 = pack_documents(ds, token_budget=1024).to_pandas()
     assert out.sort_values("doc_id").pack_id.tolist() == \
         out2.sort_values("doc_id").pack_id.tolist()
+
+
+def test_proportional_sample_exact_counts(ray_session):
+    import ray.data as rd
+
+    from snorkel_ray.stages.sampling import proportional_sample
+
+    n = 600
+    t = pa.table({
+        "k": [("a", "b", "c")[i % 3] for i in range(n)],
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    targets = {"a": 50, "b": 120, "c": 10_000}  # c over-asks
+    out = proportional_sample(ds, "k", "id", targets).to_pandas()
+    got = out.groupby("k").size().to_dict()
+    assert got == {"a": 50, "b": 120, "c": 200}
+    # partition-invariant (deterministic selection)
+    out2 = (proportional_sample(rd.from_arrow(t).repartition(9),
+                                "k", "id", targets)
+            .to_pandas())
+    assert sorted(out.id) == sorted(out2.id)
