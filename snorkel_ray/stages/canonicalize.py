@@ -185,8 +185,11 @@ def canonical_entity_map(linked_mentions, *, num_partitions: int = 16):
         # (qid, key) edge constantly, so dedup BEFORE the edge shuffle
         # (CLAUDE.md perf rule 1 — don't feed the AllToAll the full
         # mention stream when a tiny distinct set suffices)
+        # schema pinned: from_pandas on an all-unlinked (empty) batch
+        # would infer null-typed columns (round-4 review)
         return pa.Table.from_pandas(
-            out.to_pandas().drop_duplicates(), preserve_index=False)
+            out.to_pandas().drop_duplicates(), schema=out.schema,
+            preserve_index=False)
 
     from ray.data.aggregate import Count
 

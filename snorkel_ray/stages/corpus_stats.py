@@ -170,20 +170,26 @@ def remove_frequent_lines(ds, column: str = "text", sep: str = "\n", *,
 
         rows = b.to_pylist()
         uid, idx, lines, blobs = [], [], [], []
-        # DETERMINISTIC block tag (content hash): a uuid here made the
-        # task's output nondeterministic, so a lineage-reconstructed
-        # block regrouped under fresh uids and duplicated documents
-        # (round-4 review).  Byte-identical BLOCKS now collide — the
-        # same documented caveat family as write_jsonl's shard names.
+        # DETERMINISTIC row uid = (row content hash, occurrence index
+        # of that content within the batch): a uuid made the task's
+        # output nondeterministic under lineage reconstruction
+        # (round-4 review), and a per-BLOCK tag made byte-identical
+        # blocks collide.  Identical documents in DIFFERENT blocks can
+        # still share a uid — _regroup is copy-count-aware and emits
+        # one identical output row per merged copy, so that collision
+        # costs nothing.
         blobs_all = [pickle.dumps(row) for row in rows]
-        tag = hashlib.blake2b(b"".join(blobs_all),
-                              digest_size=8).hexdigest()
+        occ: dict = {}
         for r, row in enumerate(rows):
             # pickled payload: Arrow's hash join rejects struct
             # non-key fields, so the row rides as opaque bytes
             blob = blobs_all[r]
+            h = hashlib.blake2b(blob, digest_size=8).hexdigest()
+            k = occ.get(h, 0)
+            occ[h] = k + 1
+            row_uid = f"{h}:{k}"
             for j, ln in enumerate((row[column] or "").split(sep)):
-                uid.append(f"{tag}:{r}")
+                uid.append(row_uid)
                 idx.append(j)
                 lines.append(ln)
                 blobs.append(blob)
@@ -200,13 +206,19 @@ def remove_frequent_lines(ds, column: str = "text", sep: str = "\n", *,
         import pickle
 
         g = g.sort_values("_idx", kind="mergesort")
-        kept = g[g["_freq"].isna()]
+        # copies = identical documents merged under one uid (cross-
+        # block hash collision by construction is only possible for
+        # byte-identical rows): every _idx appears exactly `copies`
+        # times with identical lines — reconstruct once, emit per copy
+        copies = int((g["_idx"] == 0).sum()) or 1
+        one = g.drop_duplicates("_idx", keep="first")
+        kept = one[one["_freq"].isna()]
         row = dict(pickle.loads(g.iloc[0]["_blob"]))
         row[column] = sep.join(kept["line"])
         if stats:
             row["n_kept_lines"] = len(kept)
-            row["n_removed_lines"] = len(g) - len(kept)
-        return pd.DataFrame([row])
+            row["n_removed_lines"] = len(one) - len(kept)
+        return pd.DataFrame([row] * copies)
 
     return joined.groupby("_uid").map_groups(_regroup, batch_format="pandas")
 

@@ -56,7 +56,7 @@ _HOST = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://(?:www\.)?([^/:?#]+)")
 def normalize_url(u: str) -> str:
     """Apply the six-step canonicalization chain to one URL."""
     u = _FRAG.sub("", u)
-    u = _TRACK_LEAD.sub("?", u)
+    u = _TRACK_LEAD.sub("?", u, count=1)  # oracle s2a is non-global
     u = _TRACK_MID.sub("", u)
     u = _TRACK_END.sub("", u)
     u = _DANGLE_Q.sub("", u)  # '?#frag' leaves a bare trailing '?' 
