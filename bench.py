@@ -22,6 +22,22 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
 
+# micro-baselines over the sf dir (regression tracking); module-level so
+# tests can exercise every micro through the bench's own consumption path
+MICROS = ["lineitem_agg", "customer_order_join", "token_counts",
+          "embedding_topk", "text_analysis", "minhash_dedup_clusters",
+          "curation_funnel"]
+
+
+def consume_micro(obj) -> None:
+    """Duck-typed micro consumption: queries() callables legitimately
+    return Dataset / pandas DataFrame / pyarrow Table (the driver
+    contract); an unconditional ``.to_pandas()`` killed the
+    embedding_topk micro for a whole round (BENCH_r04 ``-1.0``,
+    round-4 verdict item 1)."""
+    if hasattr(obj, "to_pandas"):
+        obj.to_pandas()
+
 
 def _timed(fn) -> float:
     t0 = time.perf_counter()
@@ -54,6 +70,31 @@ def _calibration_sec(repeats: int = 3) -> dict:
     times = sorted(_one() for _ in range(repeats))
     return {"calib_sec": round(times[len(times) // 2], 3),
             "calib_sec_min": round(times[0], 3)}
+
+
+# Quiet-box shuffle-probe references per CPU budget (BASELINE.md
+# "Shuffle-health calibration"; overridable via
+# GRAFT_SHUFFLE_REF_SEC_{n}).  The probe is CPU-budget-dependent, so
+# each leg of --scaling compares against its own budget's reference.
+# 8/32 from the round-4 quiet band (~3-5 s); 2 extrapolated via the
+# measured 2↔8 CPU ratio (~4x) — provisional until a quiet window
+# allows direct measurement (see BASELINE.md).
+_SHUFFLE_REF_SEC = {2: 14.0, 8: 3.5, 32: 3.5}
+
+
+def _shuffle_calib_sec() -> dict:
+    """Shuffle-health probe (round-4 verdict item 2): the documented
+    ``rd.range(2M).groupby("id").count()`` 2M-group exchange, timed in
+    the LIVE session after the workload.  The single-threaded numpy
+    calib misses hypervisor shuffle-throughput collapse (measured 3-4x
+    on this box while calib drifted only 1.3-1.6x — BASELINE.md round-4
+    note); this leg makes shuffle-heavy micro swings adjudicable from
+    the bench JSON alone."""
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    rd.range(2_000_000).groupby("id").count().count()
+    return {"shuffle_calib_sec": round(time.perf_counter() - t0, 3)}
 
 
 def run_bench() -> dict:
@@ -142,19 +183,19 @@ def run_bench() -> dict:
     results["loadavg_per_run"] = [[round(a, 2), round(b, 2)]
                                   for _, a, b in timed_runs]
 
-    # micro-baselines over the sf dir (regression tracking); skipped in
-    # scaling mode where only the headline matters
-    micro = [] if os.environ.get("GRAFT_MICRO") == "0" else \
-        ["lineitem_agg", "customer_order_join", "token_counts",
-         "embedding_topk", "text_analysis", "minhash_dedup_clusters"]
+    # micros skipped in scaling mode where only the headline matters
+    micro = [] if os.environ.get("GRAFT_MICRO") == "0" else MICROS
     qs = entrymod.queries()
     if micro:
-        qs["doc_count_by_lang"](SF_DIR).to_pandas()  # untimed session warm-up
+        consume_micro(qs["doc_count_by_lang"](SF_DIR))  # untimed warm-up
     for name in micro:
         try:
-            results[name] = round(_timed(lambda: qs[name](SF_DIR).to_pandas()), 3)
-        except Exception as e:  # a broken micro must not kill the headline metric
-            results[name] = -1.0
+            results[name] = round(
+                _timed(lambda: consume_micro(qs[name](SF_DIR))), 3)
+        except Exception as e:  # a broken micro must not kill the headline
+            # metric — and must be SELF-DIAGNOSING in the JSON (the -1.0
+            # sentinel hid the round-4 cause on stderr)
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"micro {name} failed: {e}", file=sys.stderr)
 
     out = {
@@ -168,6 +209,7 @@ def run_bench() -> dict:
         "triples": n_triples,
         "pages_per_sec": round(BENCH_PAGES / headline_sec, 1),
         **_calibration_sec(),
+        **_shuffle_calib_sec(),
     }
     ray.shutdown()
     return out
@@ -218,6 +260,8 @@ def run_scaling() -> dict:
         "bench_pages": r_lo["bench_pages"],
         f"calib_sec_{lo}": r_lo.get("calib_sec"),
         f"calib_sec_{hi}": r_hi.get("calib_sec"),
+        f"shuffle_calib_sec_{lo}": r_lo.get("shuffle_calib_sec"),
+        f"shuffle_calib_sec_{hi}": r_hi.get("shuffle_calib_sec"),
         f"loadavg_{lo}": r_lo["queries"].get("loadavg_per_run"),
         f"loadavg_{hi}": r_hi["queries"].get("loadavg_per_run"),
     }
@@ -225,6 +269,22 @@ def run_scaling() -> dict:
         out["calib_ref_sec"] = calib_ref
         out["calib_drift_lo"] = round(r_lo.get("calib_sec", 0) / calib_ref, 3)
         out["calib_drift_hi"] = round(r_hi.get("calib_sec", 0) / calib_ref, 3)
+    # shuffle-drift adjudication (round-4 verdict item 7): each leg's
+    # shuffle probe vs the quiet-box reference for ITS cpu budget.  A
+    # sub-0.8 efficiency sample with a degraded leg carries its own
+    # verdict in the JSON — no hand re-run needed.
+    drifts = []
+    for tag, r, ncpu in (("lo", r_lo, lo), ("hi", r_hi, hi)):
+        ref = float(os.environ.get(f"GRAFT_SHUFFLE_REF_SEC_{ncpu}", "0") or 0) \
+            or _SHUFFLE_REF_SEC.get(ncpu, 0)
+        sc = r.get("shuffle_calib_sec")
+        if ref and sc:
+            d = round(sc / ref, 3)
+            out[f"shuffle_drift_{tag}"] = d
+            drifts.append(d)
+    if drifts:
+        out["adjudication"] = ("box-degraded" if max(drifts) > 2.0
+                               else "box-quiet")
     return out
 
 

@@ -1,0 +1,38 @@
+"""Every bench micro must survive the bench's OWN consumption path.
+
+Round-4 shipped a driver bench with a silently dead micro: a queries()
+callable started returning a pandas DataFrame and bench.py's
+unconditional ``.to_pandas()`` raised on every run (BENCH_r04
+``embedding_topk: -1.0``).  This test runs each micro callable through
+``bench.consume_micro`` at sf0.001 so a return-type change breaks CI,
+not the public evidence channel.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_all_bench_micros_consumable(ray_session):
+    import bench
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [m for m in bench.MICROS if m not in qs]
+    assert not missing, f"bench micros absent from queries(): {missing}"
+    for name in bench.MICROS:
+        bench.consume_micro(qs[name](SF))  # must not raise
+
+
+def test_consume_micro_duck_types():
+    import pandas as pd
+    import pyarrow as pa
+
+    import bench
+
+    # a DataFrame / Table (no .to_pandas() needed vs has one) both pass
+    bench.consume_micro(pd.DataFrame({"a": [1]}))
+    bench.consume_micro(pa.table({"a": [1]}))
