@@ -1544,21 +1544,14 @@ def q_embedding_topk(sf_dir: str):
     query, per-batch partial top-k, global merge)."""
     from snorkel_ray.stages.similarity import brute_force_topk
 
-    import pandas as pd
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # fetch a margin past k, then SELECT the final 10 on the same
-    # (rounded cosine, vec_id) key the oracle orders by — selecting on
-    # raw cosine risked a different row at the k-boundary whenever two
-    # raw values round to the same 4-decimal bucket (round-4 review)
-    out = brute_force_topk(ds, _query_vec(sf_dir), k=26).to_pandas()
-
-    from snorkel_ray.functions.exprs import duck_round
-
-    out["cosine_r"] = [duck_round(v, 4) for v in out["cosine"]]
-    out = (out.sort_values(["cosine_r", "vec_id"],
-                           ascending=[False, True], kind="mergesort")
-           .head(10).reset_index(drop=True))
+    # round_digits=4: the partials AND the merge select on the exact
+    # (rounded cosine DESC, vec_id ASC) total order the oracle's
+    # ORDER BY uses — no raw-cosine fetch margin, no k-boundary gap
+    # (round-4 review + round-4 ADVICE: a row past any fixed margin
+    # could still tie the kth rounded bucket with a smaller vec_id)
+    out = brute_force_topk(ds, _query_vec(sf_dir), k=10,
+                           round_digits=4).to_pandas()
     return out[["vec_id", "cosine_r"]]
 
 
@@ -2076,8 +2069,11 @@ def oracle_sql() -> dict[str, str]:
             s2a AS (SELECT regexp_replace(u,
                    '\?((?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+', '?') AS u
                    FROM s1),
-            s2b AS (SELECT regexp_replace(u,
-                   '&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+            s2b AS (SELECT CASE WHEN strpos(u, '?') > 0 THEN
+                     left(u, strpos(u, '?') - 1) || regexp_replace(
+                       substr(u, strpos(u, '?')),
+                       '&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g')
+                   ELSE u END AS u
                    FROM s2a),
             s2 AS (SELECT regexp_replace(u,
                    '\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u

@@ -2,7 +2,7 @@
 __ray_entry__.queries() entry at sf0.01 and compare against
 oracle_sql() via DuckDB (row count + sorted-column value equality).
 
-Usage: python scripts/check_contract.py [sf_dir]
+Usage: python scripts/check_contract.py [sf_dir] [--only q1,q2,...]
 """
 
 from __future__ import annotations
@@ -74,7 +74,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import ray
 
@@ -93,8 +99,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = em.queries(), em.oracle_sql()
-    n_fail = 0
+    n_fail = n_run = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
+        n_run += 1
         try:
             ray_df = to_df(fn(sf_dir))
         except Exception as e:
@@ -119,7 +128,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(ray_df)} rows match oracle")
     ray.shutdown()
-    print(f"\n{len(qs) - n_fail}/{len(qs)} passed")
+    print(f"\n{n_run - n_fail}/{n_run} passed")
     return 1 if n_fail else 0
 
 

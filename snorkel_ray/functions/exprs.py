@@ -116,6 +116,26 @@ def duck_round(v: float | None, nd: int) -> float | None:
     return math.copysign(r, x) / p
 
 
+def duck_round_np(arr, nd: int) -> np.ndarray:
+    """Vectorized :func:`duck_round` (same scale-then-half-away
+    semantics, element-wise) for hot paths that round WHOLE columns —
+    e.g. ``brute_force_topk(round_digits=...)`` rounds every cosine
+    before the partial top-k selection.  Parity with the scalar is
+    pinned by a hypothesis test."""
+    x = np.asarray(arr, dtype=np.float64)
+    p = 10.0 ** nd
+    xs = x * p
+    ax = np.abs(xs)
+    f = np.floor(ax)
+    r = np.where(ax - f >= 0.5, f + 1.0, f)
+    with np.errstate(invalid="ignore"):
+        # ax >= 2^52: already integral at double precision (matches the
+        # scalar's early return); NaN fails the comparison and
+        # propagates through copysign identically either way
+        out = np.where(ax >= 2.0 ** 52, xs, np.copysign(r, xs)) / p
+    return out
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
 

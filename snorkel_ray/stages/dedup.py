@@ -81,69 +81,92 @@ def _sort_key_strings(col: pa.ChunkedArray | pa.Array) -> list[str]:
 def exact_dedup(ds, column: str, *, keep_key: str | None = None):
     """Keep EXACTLY one row per distinct ``column`` value.
 
-    With ``keep_key`` the plan is fully vectorized: per row build a
-    totally-ordered composite key ``_rk`` = serialized keep_key +
-    full-row fingerprint + batch-unique suffix, hash
-    ``aggregate(Min(_rk))`` per content hash → winners map → filter
-    rows whose ``_rk`` equals the winner.  At 10^12 mostly-unique
-    documents a per-group ``map_groups`` would pay ~0.1 ms of pandas
-    overhead per (near-singleton) group — the same tax removed from LSH
-    banding; the aggregate path has none.
+    Plan: per-batch combiner (ONE candidate row per content hash leaves
+    each batch — winner by (serialized keep_key, full-row fingerprint,
+    batch position)) → one ``groupby(content_hash).aggregate(Min(_rk))``
+    where ``_rk`` = serialized keep_key · fingerprint ·
+    base64(pickle(row)) — the aggregate VALUE carries the winning row's
+    payload, decoded back into columns afterward.  At 10^12
+    mostly-unique documents a per-group ``map_groups`` would pay
+    ~0.1 ms of pandas overhead per (near-singleton) group — the same
+    tax removed from LSH banding; the aggregate path has none.
 
-    ``_rk`` is unique per physical row by construction, so exactly one
-    row survives even when keep_key ties (round-2 ADVICE item 1: two
-    fully identical rows both passed the old value-equality filter).
+    Exactly-one survival is STRUCTURAL: the output row is decoded from
+    the single Min value per hash, so keep_key ties (round-2 ADVICE
+    item 1) need no per-row unique suffix, and the result is
+    deterministic under lineage reconstruction (round-4 ADVICE medium:
+    the previous plan tagged rows with a per-batch ``uuid4`` and
+    filtered on ``_rk`` equality across two consumptions of a
+    materialized stream — a block reconstructed between them
+    regenerated different uuids and the filter silently dropped every
+    row of the affected hashes).  It also removes the ``materialize()``
+    and the winners map-back, whose shuffle-join path re-shipped the
+    full dataset above the broadcast limit; the combined partials
+    shuffled here are ≤ (distinct hashes × blocks) rows.
+
     Tie resolution is deterministic in OUTPUT bytes: distinct rows
-    tying on keep_key are ordered by a full-row content fingerprint;
-    byte-identical physical copies differ only in the batch-unique
-    suffix, so which copy survives is arbitrary but indistinguishable.
-
-    Without ``keep_key`` there is no caller-named winner — the row kept
-    is arbitrary-but-stable within a run (fingerprint-ordered) — but
-    the PLAN is the same vectorized aggregate: the serialized keep_key
-    prefix is simply empty.  (The old per-group ``map_groups(head(1))``
-    fallback paid the ~0.1 ms pandas tax per near-singleton group this
-    function exists to avoid.)"""
-    hashed = add_content_hash(ds, column)
+    tying on keep_key are ordered by the full-row fingerprint;
+    byte-identical copies decode to byte-identical output whichever
+    copy wins.  Without ``keep_key`` the row kept is
+    arbitrary-but-stable (fingerprint-ordered); the plan is identical
+    with an empty keep_key prefix."""
+    import base64
+    import pickle
 
     from ray.data.aggregate import Min
 
-    from .joins import apply_mapping
+    # parquet reads answer from metadata; a live chain pays a one-block
+    # probe (Ray caches it) — the decode stage needs the exact input
+    # types (from_pylist INFERENCE corrupts uint64 ids ≥ 2^63)
+    schema = ds.schema().base_schema
+    hashed = add_content_hash(ds, column)
 
-    def _row_keys(batch: pa.Table) -> pa.Table:
-        import uuid
-
+    def _combine(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hash_col = batch.column("content_hash")
+        base = batch.drop_columns(["content_hash"])
+        if n == 0:
+            return pa.table({"content_hash": hash_col,
+                             "_rk": pa.array([], pa.string())})
         ser = (_sort_key_strings(batch.column(keep_key))
-               if keep_key is not None else [""] * batch.num_rows)
+               if keep_key is not None else [""] * n)
         try:  # vectorized full-row fingerprint (tie-break between
             import polars as pl  # distinct rows sharing the keep_key)
 
-            fps = pl.from_arrow(batch).hash_rows(seed=7).to_numpy()
+            fps = pl.from_arrow(base).hash_rows(seed=7).to_numpy()
         except Exception:  # exotic column types: per-row fallback
             fps = np.fromiter(
                 (int.from_bytes(hashlib.blake2b(
                     repr(r).encode(), digest_size=8).digest(), "big")
-                 for r in batch.to_pylist()),
-                dtype=np.uint64, count=batch.num_rows)
-        tok = uuid.uuid4().hex  # batch-unique: collapses identical copies
-        rks = [f"{s}\x1f{f:016x}\x1f{tok}{i:08d}"
-               for i, (s, f) in enumerate(zip(ser, fps))]
-        return batch.append_column("_rk", pa.array(rks, pa.string()))
+                 for r in base.to_pylist()),
+                dtype=np.uint64, count=n)
+        hashes = hash_col.to_pylist()
+        order = np.lexsort((np.arange(n), fps,
+                            np.asarray(ser, dtype=object),
+                            np.asarray(hashes, dtype=object)))
+        kept_idx, prev = [], None
+        for i in order:
+            if hashes[i] != prev:
+                prev = hashes[i]
+                kept_idx.append(int(i))
+        idx = pa.array(kept_idx, pa.int64())
+        rows = base.take(idx).to_pylist()
+        rks = [f"{ser[i]}\x1f{fps[i]:016x}\x1f"
+               + base64.b64encode(pickle.dumps(row)).decode()
+               for i, row in zip(kept_idx, rows)]
+        return pa.table({"content_hash": hash_col.take(idx),
+                         "_rk": pa.array(rks, pa.string())})
 
-    hashed = (hashed.map_batches(_row_keys, batch_format="pyarrow")
-              .materialize())  # consumed by winners agg + filter pass
-    winners = hashed.groupby("content_hash").aggregate(
+    combined = hashed.map_batches(_combine, batch_format="pyarrow")
+    winners = combined.groupby("content_hash").aggregate(
         Min("_rk", alias_name="_keeper"))
-    with_keeper = apply_mapping(hashed, winners, "content_hash",
-                                "content_hash", "_keeper", "_keeper")
 
-    def _filter(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def _decode(b: pa.Table) -> pa.Table:
+        rows = [pickle.loads(base64.b64decode(s.rsplit("\x1f", 1)[1]))
+                for s in b.column("_keeper").to_pylist()]
+        return pa.Table.from_pylist(rows, schema=schema)
 
-        keep = pc.equal(b.column("_rk"), b.column("_keeper"))
-        return b.filter(keep).drop_columns(["content_hash", "_rk", "_keeper"])
-
-    return with_keeper.map_batches(_filter, batch_format="pyarrow")
+    return winners.map_batches(_decode, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

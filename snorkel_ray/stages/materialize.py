@@ -109,52 +109,63 @@ def _combine_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(_best_witness(batch.to_pandas()), preserve_index=False)
 
 
-def _dedup_distributed(combined):
+def _dedup_distributed(combined, schema: pa.Schema):
     """Vectorized distributed max-p dedup — the same Min-aggregate
     winner plan as ``dedup.exact_dedup`` (this path activates exactly
     when distinct triples number in the millions, i.e. near-singleton
     groups, where a per-group ``map_groups`` pays ~0.1 ms of pandas
     tax EACH — CLAUDE.md perf rule 5; round-4 review):
 
-    1. per row: composite dedup key ``_dk`` + a totally-ordered winner
-       string ``_rk`` = sortkey(−p) · url · sent · batch-unique suffix
-       (the suffix keeps byte-identical combiner outputs from BOTH
-       surviving the equality filter);
-    2. ``groupby(_dk).aggregate(Min(_rk))`` — the winner per triple;
-    3. winners map back via ``apply_mapping``; keep rows whose ``_rk``
-       equals their key's winner."""
-    import uuid
+    1. per row: composite dedup key ``_dk`` + winner string ``_rk`` =
+       sortkey(−p) · url · sent · base64(pickle(row)) — the prefix
+       orders candidates exactly like ``_best_witness``; the payload
+       suffix only decides exact (p, url, sent) ties, deterministically;
+    2. ``groupby(_dk).aggregate(Min(_rk))`` — ONE shuffle of the
+       combined partials, one surviving value per distinct triple;
+    3. winners DECODE their payload back into the output columns.
+
+    The winning row is decoded from the single Min value per key, so
+    the plan is deterministic under lineage reconstruction (round-4
+    ADVICE medium: the previous plan tagged ``_rk`` with a per-batch
+    ``uuid4`` and consumed the keyed stream twice — a block
+    reconstructed between the two consumptions regenerated different
+    uuids and the ``_rk == _win`` equality filter silently dropped
+    every row of the affected triples).  Encoding the payload into the
+    aggregate also removes that plan's ``materialize()`` and winners
+    map-back entirely — strictly fewer passes."""
+    import base64
+    import pickle
 
     import numpy as np
 
     from ray.data.aggregate import Min
 
     from .dedup import _sort_key_strings
-    from .joins import apply_mapping
 
     def _keys(b: pa.Table) -> pa.Table:
         df = _with_dedup_keys(b.to_pandas())
         dk = (df["_dk_subj"] + "\x1f" + df["pred"] + "\x1f"
               + df["_dk_obj"])
         neg_p = pa.array(-df["p"].to_numpy(dtype=np.float64))
-        tag = uuid.uuid4().hex
-        rk = [f"{pk}\x1f{u}\x1f{s}\x1f{tag}:{i}" for i, (pk, u, s) in
-              enumerate(zip(_sort_key_strings(neg_p), df["url"],
-                            df["sent_stable_id"]))]
-        t = pa.Table.from_pandas(
-            df.drop(columns=["_dk_subj", "_dk_obj"]), preserve_index=False)
-        return (t.append_column("_dk", pa.array(dk.tolist(), pa.string()))
-                .append_column("_rk", pa.array(rk, pa.string())))
+        payload = df.drop(columns=["_dk_subj", "_dk_obj"])
+        recs = payload.to_dict("records")
+        rk = [f"{pk}\x1f{u}\x1f{s}\x1f"
+              + base64.b64encode(pickle.dumps(rec)).decode()
+              for pk, u, s, rec in
+              zip(_sort_key_strings(neg_p), df["url"],
+                  df["sent_stable_id"], recs)]
+        return pa.table({"_dk": pa.array(dk.tolist(), pa.string()),
+                         "_rk": pa.array(rk, pa.string())})
 
-    keyed = combined.map_batches(_keys, batch_format="pyarrow").materialize()
+    keyed = combined.map_batches(_keys, batch_format="pyarrow")
     winners = keyed.groupby("_dk").aggregate(Min("_rk", alias_name="_win"))
-    marked = apply_mapping(keyed, winners, "_dk", "_dk", "_win", "_win")
 
-    def _keep(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b.column("_rk"), b.column("_win"))
-        return b.filter(keep).drop_columns(["_dk", "_rk", "_win"])
+    def _decode(b: pa.Table) -> pa.Table:
+        rows = [pickle.loads(base64.b64decode(s.rsplit("\x1f", 1)[1]))
+                for s in b.column("_win").to_pylist()]
+        return pa.Table.from_pylist(rows, schema=schema)
 
-    return marked.map_batches(_keep, batch_format="pyarrow")
+    return winners.map_batches(_decode, batch_format="pyarrow")
 
 
 def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None = None,
@@ -224,7 +235,12 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
 
             out = rd.from_arrow(TRIPLES.empty_table())
     else:
-        out = _dedup_distributed(combined).sort(_OUT_ORDER)
+        # decode needs exact output types (from_pylist inference is
+        # unsafe — CLAUDE.md uint64 pitfall); free when combined was
+        # just materialized for the auto-switch count, a one-block
+        # probe otherwise
+        out = _dedup_distributed(
+            combined, combined.schema().base_schema).sort(_OUT_ORDER)
     if out_dir is not None:
         from ..state.checkpoint import atomic_write_parquet
 

@@ -20,14 +20,15 @@ def _norm(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
 
-def _merge_partial_topk(partial, id_column: str, k: int):
+def _merge_partial_topk(partial, id_column: str, k: int,
+                        score_col: str = "cosine"):
     """Exact global top-k per query from per-batch partials, merged on
     the DRIVER (the stream is k × queries × blocks rows — small by
     construction) and returned as a Dataset."""
     import ray.data as rd
 
     df = partial.to_pandas()
-    out = (df.sort_values(["query_idx", "cosine", id_column],
+    out = (df.sort_values(["query_idx", score_col, id_column],
                           ascending=[True, False, True], kind="mergesort")
            .groupby("query_idx", sort=True).head(k)
            .reset_index(drop=True))
@@ -35,12 +36,22 @@ def _merge_partial_topk(partial, id_column: str, k: int):
 
 
 def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
-                     id_column: str = "vec_id", k: int = 10):
-    """→ Dataset (query_idx, id, cosine) of the global top-k per query.
+                     id_column: str = "vec_id", k: int = 10,
+                     round_digits: int | None = None):
+    """→ Dataset (query_idx, id, cosine[, cosine_r]) of the global
+    top-k per query.
 
     ``query``: (q, dim) or (dim,).  Per-batch partial top-k keeps the
     shuffle tiny; final exact merge via sort+limit per query.
-    """
+
+    ``round_digits``: select on ``(duck_round(cosine, d) DESC,
+    id ASC)`` — a TOTAL order (ids unique), applied identically in the
+    partials and the merge, so the result matches a SQL ``ORDER BY
+    round(cosine, d) DESC, id`` exactly even at the k-boundary.
+    (Selecting partials on raw cosine and re-ranking rounded afterwards
+    can miss a row ranked past k on raw cosine that ties the kth
+    rounded bucket with a smaller id — round-4 ADVICE.)  Adds a
+    ``cosine_r`` column; merge orders on it."""
     import ray
 
     Q = _norm(np.atleast_2d(np.asarray(query, dtype=np.float32)))
@@ -50,28 +61,54 @@ def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
         Qm = ray.get(q_ref)
         vecs = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float32)
         ids = batch.column(id_column)
+        empty = {"query_idx": pa.array([], pa.int32()),
+                 id_column: ids.slice(0, 0),
+                 "cosine": pa.array([], pa.float64())}
+        if round_digits is not None:
+            empty["cosine_r"] = pa.array([], pa.float64())
         if len(vecs) == 0:
-            return pa.table({"query_idx": pa.array([], pa.int32()),
-                             id_column: ids.slice(0, 0),
-                             "cosine": pa.array([], pa.float64())})
+            return pa.table(empty)
         sims = _norm(vecs) @ Qm.T  # (n, q)
+        n = sims.shape[0]
+        kk = min(k, n)
         out_q, out_i, out_s = [], [], []
-        kk = min(k, sims.shape[0])
+        if round_digits is not None:
+            from ..functions.exprs import duck_round_np
+
+            keys = duck_round_np(sims, round_digits)
+            ids_np = np.asarray(ids.to_pylist(), dtype=object)
         for qi in range(sims.shape[1]):
-            top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            if round_digits is None:
+                top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            else:
+                # exact top-k on the TOTAL order (rounded key desc, id
+                # asc): threshold prune first (vectorized), then break
+                # the threshold bucket's ties by id
+                key = keys[:, qi]
+                kth = np.partition(key, n - kk)[n - kk]
+                cand = np.flatnonzero(key >= kth)
+                top = cand[np.lexsort((ids_np[cand], -key[cand]))][:kk]
             out_q.extend([qi] * kk)
             out_i.extend(top.tolist())
             out_s.extend(sims[top, qi].tolist())
-        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
-                         id_column: ids.take(pa.array(out_i, pa.int64())),
-                         "cosine": pa.array(np.asarray(out_s, np.float64), pa.float64())})
+        idx = pa.array(out_i, pa.int64())
+        cols = {"query_idx": pa.array(out_q, pa.int32()),
+                id_column: ids.take(idx),
+                "cosine": pa.array(np.asarray(out_s, np.float64), pa.float64())}
+        if round_digits is not None:
+            rows = np.asarray(out_i, np.int64)
+            qs = np.asarray(out_q, np.int64)
+            cols["cosine_r"] = pa.array(keys[rows, qs], pa.float64())
+        return pa.table(cols)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
     # driver merge of the tiny partial stream (k x q x num_blocks rows)
     # instead of a groupby appended to the live map chain — an AllToAll
     # there caps the fused chain's parallelism (CLAUDE.md perf rule 1;
     # round-4 review).  sampling.bottom_k_sample is the same shape.
-    return _merge_partial_topk(partial, id_column, k)
+    return _merge_partial_topk(
+        partial, id_column, k,
+        score_col="cosine" if round_digits is None else "cosine_r")
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,12 @@ def _moments_batch(batch: pa.Table) -> pa.Table:
     # (~GBs per default block at K ~ 40 — round-4 review); this stays
     # O(n*K + K^2)
     agree = np.zeros((K, K))
-    for v in (-1, 1):
+    # one matmul per DISTINCT nonzero vote value PRESENT in the batch —
+    # not a hard-coded (-1, 1): a custom LF emitting any other int8
+    # label (e.g. categorical 2) must count as agreement, not silently
+    # contribute zero (round-4 ADVICE).  V distinct values cost
+    # O(n*K*V + V*K^2); binary batches still do exactly two matmuls.
+    for v in np.unique(M[M != 0]):
         Nv = (M == v).astype(np.float64)
         agree += Nv.T @ Nv
     cofire = nz.T @ nz

@@ -39,10 +39,11 @@ __all__ = ["normalize_url", "normalize_urls", "extract_domain",
 
 _FRAG = re.compile(r"#.*$")
 # tracking-param removal that can never touch a literal '&' outside a
-# query (round-4 review: the old dangling-'&' repair rewrote the first
-# '&' of ANY query-less URL, corrupting &-in-path pages): leading run
-# keeps the '?', middle params drop with their '&', a lone/last param
-# drops with its '?'
+# query: leading run keeps the '?', middle params drop with their '&'
+# (applied to the substring AFTER the first '?' only — round-4 ADVICE:
+# the bare pattern also stripped a literal '&utm_x=...' in a QUERY-LESS
+# path like https://a.co/a&utm_x=2; the oracle SQL s2b mirrors the same
+# first-'?' split), a lone/last param drops with its '?'
 _TRACK_LEAD = re.compile(r"\?(?:(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+")
 _TRACK_MID = re.compile(r"&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*")
 _TRACK_END = re.compile(r"\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$")
@@ -57,7 +58,9 @@ def normalize_url(u: str) -> str:
     """Apply the six-step canonicalization chain to one URL."""
     u = _FRAG.sub("", u)
     u = _TRACK_LEAD.sub("?", u, count=1)  # oracle s2a is non-global
-    u = _TRACK_MID.sub("", u)
+    qi = u.find("?")
+    if qi >= 0:  # mid-params exist only inside a query
+        u = u[:qi] + _TRACK_MID.sub("", u[qi:])
     u = _TRACK_END.sub("", u)
     u = _DANGLE_Q.sub("", u)  # '?#frag' leaves a bare trailing '?' 
     m = _PREFIX.match(u)

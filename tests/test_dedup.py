@@ -320,3 +320,44 @@ def test_lsh_small_bucket_full_pairs(ray_session):
                                    full_pairs_bucket_cap=2).to_pandas()
     got2 = set(map(tuple, anchor_only[["a", "b"]].itertuples(index=False)))
     assert (10, 11) not in got2 and (1, 10) in got2 and (1, 11) in got2
+
+
+def test_exact_dedup_identical_blocks(ray_session):
+    """Round-4 ADVICE medium (determinism under lineage
+    reconstruction): the winner plan must not rely on per-run batch
+    tags.  The structural hazard case: byte-identical rows arriving in
+    byte-IDENTICAL blocks (a doubly-ingested input file) — any
+    batch-content tag collides there — must still collapse to exactly
+    one survivor, byte-deterministically across reruns."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    block = [{"doc_id": 7, "text": "same file twice"},
+             {"doc_id": 9, "text": "same file twice"},
+             {"doc_id": 2, "text": "only here"}]
+    ds = rd.from_items(block).union(rd.from_items(block))
+    outs = []
+    for _ in range(2):
+        out = exact_dedup(ds, "text", keep_key="doc_id").to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    assert outs[0]["doc_id"].tolist() == [2, 7]
+    assert outs[0].equals(outs[1])
+
+
+def test_exact_dedup_preserves_uint64_ids(ray_session):
+    """The decode stage rebuilds rows from pickled payloads with the
+    input's EXACT schema: a uint64 id >= 2^63 must round-trip (naive
+    from_pylist inference overflows int64 — CLAUDE.md pitfall)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    big = 2**63 + 11
+    t = pa.table({"doc_id": pa.array([big, big + 1, 5], pa.uint64()),
+                  "text": ["a", "a", "b"]})
+    out = exact_dedup(rd.from_arrow(t), "text", keep_key="doc_id")
+    got = out.to_pandas().sort_values("text").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [big, 5]
+    assert out.schema().base_schema.field("doc_id").type == pa.uint64()

@@ -607,3 +607,66 @@ def test_asof_join_preserves_big_int_values(ray_session):
                .to_pandas().sort_values("t").reset_index(drop=True))
         vals = [int(v) for v in out.big_id]
         assert vals == [2**53 + 1, 2**53 + 1, 2**63 + 7], (chunked, vals)
+
+
+def test_duck_round_np_parity_hypothesis():
+    """Vectorized duck_round_np must agree element-wise with the scalar
+    duck_round (which is itself pinned against DuckDB) — including
+    ties, negatives, subnormals, huge magnitudes, inf and NaN."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from snorkel_ray.functions.exprs import duck_round, duck_round_np
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                              width=64), min_size=1, max_size=50),
+           st.integers(min_value=0, max_value=8))
+    def check(vals, nd):
+        got = duck_round_np(vals, nd)
+        for v, g in zip(vals, got):
+            want = duck_round(v, nd)
+            if want is not None and math.isnan(want):
+                assert math.isnan(g)
+            else:
+                assert g == want or (g == 0.0 and want == 0.0), (v, nd, g, want)
+
+    check()
+    # the documented decimal-tie disagreement cases stay pinned
+    assert duck_round_np([0.125], 2)[0] == 0.13
+    assert duck_round_np([-0.125], 2)[0] == -0.13
+
+
+def test_brute_force_topk_rounded_boundary(ray_session):
+    """round_digits selects on (rounded cosine DESC, id ASC) INSIDE the
+    partials: a row whose raw cosine ranks past k but whose rounded
+    value ties the kth bucket with a smaller id must be in the top-k
+    (round-4 ADVICE: any raw-cosine fetch margin can miss it)."""
+    import duckdb
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    # 1-d embeddings: cosine is sign(v), so craft near-ties directly in
+    # 2-d instead — many vectors at nearly identical angles produce
+    # dense rounded-cosine collisions at 2 decimals
+    n = 400
+    angles = rng.uniform(0.0, 0.3, n)
+    vecs = np.stack([np.cos(angles), np.sin(angles)], axis=1).astype(np.float32)
+    ids = rng.permutation(n)
+    ds = rd.from_items([{"vec_id": int(ids[i]),
+                         "embedding": vecs[i].tolist()} for i in range(n)])
+    q = np.array([1.0, 0.0], dtype=np.float32)
+    out = brute_force_topk(ds.repartition(8), q, k=10,
+                           round_digits=2).to_pandas()
+
+    # oracle: full cosine in numpy, DuckDB-rounded, ORDER BY r DESC, id
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ q
+    ref = duckdb.sql(
+        "SELECT id FROM (SELECT unnest($ids) AS id, round(unnest($s), 2) AS r) "
+        "ORDER BY r DESC, id LIMIT 10",
+        params={"ids": [int(x) for x in ids],
+                "s": [float(x) for x in sims]}).fetchall()
+    assert out["vec_id"].tolist() == [r[0] for r in ref]

@@ -104,3 +104,22 @@ def test_dependency_selector(ray_session):
     pairs = {(j, k) for j, k, _ in deps}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_agreement_counts_nonbinary_votes(ray_session):
+    """Round-4 ADVICE: the agreement kernel iterates the distinct
+    nonzero vote values present — a categorical LF emitting 2 must
+    count as agreement, not silently contribute zero."""
+    import pyarrow as pa
+
+    from snorkel_ray.stages.structure import _moments_batch
+
+    L = [[2, 2], [2, 2], [0, 2], [1, 2]]
+    batch = pa.table({"L": pa.array(L, pa.list_(pa.int8()))})
+    out = _moments_batch(batch)
+    agree = out.column("agree")[0].as_py()  # K=2 -> flattened 2x2
+    # pairs agreeing on value 2: rows 0,1 -> agree[0,1] == 2
+    assert agree[1] == 2.0
+    # self-agreement diagonals count every nonzero vote (LF0 fires on
+    # 3 rows: 2,2,1; LF1 on all 4)
+    assert agree[0] == 3.0 and agree[3] == 4.0

@@ -65,3 +65,14 @@ def test_domain_stats_collapses_duplicates():
     assert out.loc["a.com", "n_pages"] == 3
     assert out.loc["b.org", "n_unique_urls"] == 1
     assert out.loc["b.org", "n_pages"] == 2
+
+
+def test_track_mid_only_inside_query():
+    """Round-4 ADVICE: a literal '&utm_x=...' in a QUERY-LESS path is
+    not a tracking param — _TRACK_MID applies only after the first '?'
+    (the oracle SQL s2b mirrors the same split)."""
+    assert normalize_url("https://a.co/a&utm_x=2") == "https://a.co/a&utm_x=2"
+    # path segment with &utm BEFORE a real query: path untouched,
+    # query param stripped
+    assert normalize_url("https://a.co/a&utm_x=2/p?a=1&utm_y=3") == \
+        "https://a.co/a&utm_x=2/p?a=1"
