@@ -181,7 +181,7 @@ def read_jsonl_docs(path: str | list[str], *,
 
 
 def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
-                overwrite: bool = True):
+                overwrite: bool = True, salt_shards: bool = False):
     """JSONL sink: one shard file per block, named by the shard's
     CONTENT HASH (``part-<blake2b(payload)>.jsonl``), written via
     temp+rename.  Determinism is the idempotence mechanism (ADVICE
@@ -194,12 +194,16 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
       ``part-*.jsonl`` shards (``overwrite=True``, default) or raises
       ``FileExistsError`` (``overwrite=False``) — it never appends.
 
-    Caveat: two distinct blocks with byte-identical serialized content
-    collapse to one shard (their rows are identical, but multiplicity
-    across blocks is lost); pipelines that must preserve exact
-    duplicate BLOCKS should add a distinguishing column.  Columns
-    default to all; values must be JSON-serializable (timestamps
-    stringify)."""
+    Caveat (default): two distinct blocks with byte-identical
+    serialized content collapse to one shard (their rows are identical,
+    but multiplicity across blocks is lost).  ``salt_shards=True``
+    (round-4 verdict item 8) restores multiplicity: the tasks still
+    write content-named files (so retry idempotence is untouched), and
+    the DRIVER then re-materializes the j-th manifest occurrence of a
+    collapsed name as its own copy ``part-<digest>-<j>.jsonl`` — the
+    manifest has exactly one row per logical block, so the fixup is
+    deterministic.  Columns default to all; values must be
+    JSON-serializable (timestamps stringify)."""
     import glob as _glob
     import hashlib as _hashlib
     import os as _os
@@ -231,13 +235,33 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
             "n_rows": pa.array([len(rows)], pa.int64())})
 
     # consume the manifest so the write executes; return it for audit.
-    # Byte-identical blocks collapse to ONE shard (same content hash) —
-    # dedup their manifest rows so the audit matches the directory
-    # instead of double-counting the collapsed file (round-4 review).
     import ray.data as rd
 
-    mdf = (ds.map_batches(_write, batch_format="pyarrow")
-           .to_pandas().drop_duplicates("path").reset_index(drop=True))
+    mdf = ds.map_batches(_write, batch_format="pyarrow").to_pandas()
+    if salt_shards:
+        # restore block multiplicity: copy the j-th occurrence of a
+        # collapsed content name to its own file (driver-side; the
+        # manifest is one row per logical block by construction)
+        import shutil as _shutil
+
+        out_paths, seen = [], {}
+        for p in mdf["path"]:
+            k = seen.get(p, 0)
+            seen[p] = k + 1
+            if k == 0:
+                out_paths.append(p)
+            else:
+                root, ext = _os.path.splitext(p)
+                q = f"{root}-{k}{ext}"
+                _shutil.copyfile(p, q)
+                out_paths.append(q)
+        mdf = mdf.assign(path=out_paths)
+    else:
+        # byte-identical blocks collapse to ONE shard (same content
+        # hash) — dedup their manifest rows so the audit matches the
+        # directory instead of double-counting (round-4 review)
+        mdf = mdf.drop_duplicates("path")
+    mdf = mdf.reset_index(drop=True)
     return rd.from_pandas(mdf).materialize()
 
 

@@ -150,16 +150,33 @@ def grouped_corr(ds, key: str, x: str, y: str, *, out: str = "corr"):
 
 def grouped_string_agg(ds, key: str, value: str, *, sep: str = ",",
                        order_by: list[str] | None = None,
-                       out: str = "agg"):
+                       out: str = "agg",
+                       pre_split_chunks: int | None = None,
+                       seed: int = 17):
     """SQL ``string_agg(value, sep ORDER BY ...)`` per key.
 
-    One group per key by construction — the OUTPUT row is the whole
-    group's concatenation, so a group must fit a reducer no matter the
-    plan; do not point this at a celebrity key (pre-bucket or cap
-    upstream with ``skew.grouped_topk`` if unbounded)."""
+    Default plan: one group per key.  The OUTPUT row is the whole
+    group's concatenation, so the RESULT must fit a reducer no matter
+    the plan — but with ``pre_split_chunks=N`` (round-4 verdict item 4,
+    the last ordered-per-key op without hot-key safety) no reducer ever
+    SORTS a full hot group: rows are range-partitioned into N chunks of
+    the leading order column (boundaries from a seeded sample — type-
+    agnostic, unlike a KLL sketch, so string order keys work), each
+    (key, chunk) group sorts and concatenates independently, and a
+    per-key pass of ≤ N partial strings joins them in chunk order.
+    Boundary assignment is ``side='right'`` searchsorted, so equal
+    order values co-locate and chunk order composes with within-chunk
+    order into the exact global order.  Costs one count + one sampled
+    scan at plan-build time (same trade as the window family's auto
+    probe); order_by columns must be non-null in this plan."""
     import pandas as pd
 
     order = order_by or [value]
+
+    if pre_split_chunks is not None and pre_split_chunks > 1:
+        return _string_agg_chunked(ds, key, value, order=order, sep=sep,
+                                   out=out, num_chunks=pre_split_chunks,
+                                   seed=seed)
 
     def _agg(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="mergesort")
@@ -167,6 +184,67 @@ def grouped_string_agg(ds, key: str, value: str, *, sep: str = ",",
                              out: [sep.join(g[value].astype(str))]})
 
     return ds.groupby(key).map_groups(_agg, batch_format="pandas")
+
+
+def _string_agg_chunked(ds, key: str, value: str, *, order: list[str],
+                        sep: str, out: str, num_chunks: int, seed: int):
+    """Two-level ordered string_agg (see :func:`grouped_string_agg`)."""
+    import ray
+    import pandas as pd
+
+    ocol = order[0]
+    n = ds.count()
+    sample_rows = max(num_chunks * 64, 4096)
+    if n == 0:
+        boundaries: list = []
+    else:
+        frac = min(1.0, sample_rows * 1.25 / n)
+        s = (ds.select_columns([ocol]).random_sample(frac, seed=seed)
+             .limit(sample_rows).to_pandas()[ocol])
+        if len(s) < min(n, num_chunks):  # pathological under-sample
+            s = ds.select_columns([ocol]).limit(sample_rows).to_pandas()[ocol]
+        if s.isna().any():  # same contract the per-batch guard enforces
+            raise ValueError(
+                "grouped_string_agg(pre_split_chunks=...): null order "
+                "values are not range-partitionable — fill or filter "
+                "upstream, or use the default single-group plan")
+        sv = s.sort_values(kind="mergesort").to_numpy()
+        boundaries = []
+        for j in range(1, num_chunks):
+            v = sv[min(int(len(sv) * j / num_chunks), len(sv) - 1)]
+            if not boundaries or v > boundaries[-1]:
+                boundaries.append(v)
+    b_ref = ray.put(np.asarray(boundaries, dtype=object))
+
+    def _assign(b: pa.Table) -> pa.Table:
+        bl = ray.get(b_ref)
+        vals = b.column(ocol).to_pylist()
+        if any(v is None for v in vals):
+            raise ValueError(
+                "grouped_string_agg(pre_split_chunks=...): null order "
+                "values are not range-partitionable — fill or filter "
+                "upstream, or use the default single-group plan")
+        ch = (np.searchsorted(bl, np.asarray(vals, dtype=object),
+                              side="right").astype(np.int64)
+              if len(bl) else np.zeros(b.num_rows, np.int64))
+        return b.append_column("_chunk", pa.array(ch, pa.int64()))
+
+    def _agg1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "_chunk": [g["_chunk"].iloc[0]],
+                             "_part": [sep.join(g[value].astype(str))]})
+
+    parts = (ds.map_batches(_assign, batch_format="pyarrow")
+             .groupby([key, "_chunk"])
+             .map_groups(_agg1, batch_format="pandas"))
+
+    def _agg2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_chunk", kind="mergesort")
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out: [sep.join(g["_part"])]})
+
+    return parts.groupby(key).map_groups(_agg2, batch_format="pandas")
 
 
 def grouped_count_distinct(ds, key: str, value: str, *,

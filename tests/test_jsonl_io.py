@@ -67,3 +67,33 @@ def test_write_jsonl_rerun_replaces_not_accumulates(tmp_path):
     import pytest
     with pytest.raises(FileExistsError):
         write_jsonl(ray.data.from_arrow(t2), out_dir, overwrite=False)
+
+
+def test_write_jsonl_salt_shards(ray_session, tmp_path):
+    """Round-4 verdict item 8: byte-identical blocks collapse to one
+    shard by default (documented), but salt_shards=True restores block
+    multiplicity with deterministic -<j> copies."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from snorkel_ray.sources.readers import write_jsonl
+
+    rows = [{"doc_id": 1, "text": "same"}]
+    ds = rd.from_items(rows).union(rd.from_items(rows))
+
+    d1 = str(tmp_path / "plain")
+    m1 = write_jsonl(ds, d1).to_pandas()
+    assert len(glob.glob(os.path.join(d1, "part-*.jsonl"))) == 1
+    assert len(m1) == 1
+
+    d2 = str(tmp_path / "salted")
+    m2 = write_jsonl(ds, d2, salt_shards=True).to_pandas()
+    files = sorted(glob.glob(os.path.join(d2, "part-*.jsonl")))
+    assert len(files) == 2 and len(m2) == 2
+    # multiplicity survives on disk: both copies hold the same line
+    import json
+
+    lines = [json.loads(open(f).read()) for f in files]
+    assert lines[0] == lines[1] == {"doc_id": 1, "text": "same"}

@@ -234,3 +234,43 @@ def test_histogram_fixed_width():
            .to_pandas().set_index("bucket").n)
     # -1 -> 0; 0 -> 1; 2.5 -> 2; 5 -> 3; 9.99 -> 4; 10, 42 -> 5
     assert out.to_dict() == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_string_agg_chunked_matches_plain(ray_session):
+    """Round-4 verdict item 4: the two-level range-chunked string_agg
+    must equal the single-group plan exactly — including when one key
+    dominates (the hot key the chunked plan exists for) and when chunk
+    boundaries land on tied order values."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.reshape import grouped_string_agg
+
+    rows = [{"k": "hot", "v": f"x{i % 37:02d}", "o": i % 37}
+            for i in range(500)]
+    rows += [{"k": f"cold{j}", "v": f"y{j}", "o": j} for j in range(10)]
+    ds = rd.from_items(rows).repartition(8)
+
+    plain = (grouped_string_agg(ds, "k", "v", order_by=["o", "v"],
+                                out="agg")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    for nc in (2, 5, 16, 1000):  # more chunks than rows is legal
+        chunked = (grouped_string_agg(ds, "k", "v", order_by=["o", "v"],
+                                      out="agg", pre_split_chunks=nc)
+                   .to_pandas().sort_values("k").reset_index(drop=True))
+        assert chunked.equals(plain), f"num_chunks={nc}"
+
+
+def test_string_agg_chunked_string_order_and_null_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from snorkel_ray.stages.reshape import grouped_string_agg
+
+    rows = [{"k": 1, "v": w} for w in ["pear", "apple", "fig", "plum"]]
+    out = grouped_string_agg(rd.from_items(rows), "k", "v",
+                             pre_split_chunks=3).to_pandas()
+    assert out["agg"].iloc[0] == "apple,fig,pear,plum"
+
+    bad = rd.from_items([{"k": 1, "v": "a"}, {"k": 1, "v": None}])
+    with pytest.raises(Exception, match="null order"):
+        grouped_string_agg(bad, "k", "v", pre_split_chunks=2).to_pandas()
