@@ -1567,6 +1567,35 @@ def q_embedding_topk(sf_dir: str):
     return out[["vec_id", "cosine_r"]]
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact 3-word-shingle Jaccard for every pair of the first 25
+    documents — the LSH verification kernel as a standalone n-gram
+    Jaccard near-dup operator (brief §dedup), distributed via
+    ``verify_pairs_jaccard`` (shingle sets broadcast/route to pairs; no
+    driver pair loop).  Hashed shingle sets equal string shingle sets
+    absent 64-bit collisions (~1e-15 at this gram count)."""
+    import itertools
+
+    import ray.data as rd
+
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.dedup import verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), 25)),
+        batch_format="pyarrow")
+    pairs = rd.from_items([{"a": a, "b": b} for a, b in
+                           itertools.combinations(range(25), 2)])
+    out = verify_pairs_jaccard(docs, pairs, "text", "doc_id",
+                               shingle_k=3, threshold=0.0).to_pandas()
+    out["a"] = out["a"].astype("int64")  # verify emits string ids
+    out["b"] = out["b"].astype("int64")
+    out["jaccard_r"] = [duck_round(v, 4) for v in out["jaccard"]]
+    return (out[["a", "b", "jaccard_r"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 # --- non-SQL-expressible ops (rows-only checks) ------------------------------
 
 def q_minhash_dedup_clusters(sf_dir: str):
@@ -1867,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_range_sum": q_event_value_range_sum,
         "curation_funnel_sharded": q_curation_funnel_sharded,
         "supplier_name_agg_chunked": q_supplier_name_agg_chunked,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2001,6 +2031,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey,
                    string_agg(s_name, ',' ORDER BY s_name) AS names
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+        "ngram_jaccard_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS w
+                    FROM documents WHERE doc_id < 25))
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE
+                         / len(list_distinct(list_concat(a.g, b.g))), 4)
+                     AS jaccard_r
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            ORDER BY a, b""",
         "jsonl_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_len
