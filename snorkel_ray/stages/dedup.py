@@ -118,7 +118,10 @@ def exact_dedup(ds, column: str, *, keep_key: str | None = None):
     # parquet reads answer from metadata; a live chain pays a one-block
     # probe (Ray caches it) — the decode stage needs the exact input
     # types (from_pylist INFERENCE corrupts uint64 ids ≥ 2^63)
-    schema = ds.schema().base_schema
+    ray_schema = ds.schema(fetch_if_missing=True)
+    if ray_schema is None:  # schema-less empty input: nothing to dedup
+        return ds
+    schema = ray_schema.base_schema
     hashed = add_content_hash(ds, column)
 
     def _combine(batch: pa.Table) -> pa.Table:

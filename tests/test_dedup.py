@@ -361,3 +361,14 @@ def test_exact_dedup_preserves_uint64_ids(ray_session):
     got = out.to_pandas().sort_values("text").reset_index(drop=True)
     assert got["doc_id"].tolist() == [big, 5]
     assert out.schema().base_schema.field("doc_id").type == pa.uint64()
+
+
+def test_exact_dedup_empty_input(ray_session):
+    """Schema-less empty input passes through (the decode stage needs a
+    schema; there is nothing to dedup)."""
+    import ray.data as rd
+
+    from snorkel_ray.stages.dedup import exact_dedup
+
+    assert exact_dedup(rd.from_items([]), "text",
+                       keep_key="doc_id").count() == 0
