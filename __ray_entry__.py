@@ -1596,6 +1596,18 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def q_tfidf_scores(sf_dir: str):
+    """Distributed TF-IDF relevance per document for a fixed term list
+    (topical up-sampling / keyword filtering).  idf is quantized to
+    integer micros so the score sum is order-independent — the oracle's
+    SQL SUM() aggregation order cannot move the hash."""
+    from snorkel_ray.stages.corpus_stats import tfidf_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_scores(ds, ["data", "query", "fast"])
+    return out.sort("doc_id")
+
+
 # --- non-SQL-expressible ops (rows-only checks) ------------------------------
 
 def q_minhash_dedup_clusters(sf_dir: str):
@@ -1897,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel_sharded": q_curation_funnel_sharded,
         "supplier_name_agg_chunked": q_supplier_name_agg_chunked,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "tfidf_scores": q_tfidf_scores,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2045,6 +2058,30 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard_r
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             ORDER BY a, b""",
+        "tfidf_scores": r"""
+            WITH tok AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x != '') AS w
+                   FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM tok),
+            idf AS (SELECT term,
+                     CAST(round(ln(n.n / df) * 1000000, 0) AS BIGINT)
+                       AS idf_i
+                    FROM (SELECT t.term, count(*)::DOUBLE AS df
+                          FROM (VALUES ('data'), ('query'), ('fast'))
+                               t(term)
+                          JOIN tok ON list_contains(tok.w, t.term)
+                          GROUP BY t.term), n
+                    WHERE df > 0),
+            contrib AS (SELECT tok.doc_id,
+                     len(list_filter(tok.w, x -> x = idf.term))
+                       * idf.idf_i AS c
+                    FROM tok JOIN idf ON list_contains(tok.w, idf.term))
+            SELECT tok.doc_id,
+                   COALESCE(sum(contrib.c), 0) / 1000000.0 AS score
+            FROM tok LEFT JOIN contrib ON tok.doc_id = contrib.doc_id
+            GROUP BY tok.doc_id ORDER BY tok.doc_id""",
         "jsonl_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_len

@@ -270,3 +270,71 @@ def top_ngrams(ds, column: str = "text", n: int = 2, k: int = 20) -> pa.Table:
         return pa.table({"ngram": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
     return _take_k(buf)
+
+
+def tfidf_scores(ds, terms: list[str], *, column: str = "text",
+                 id_column: str = "doc_id", idf_micro: int = 1_000_000):
+    """Distributed TF-IDF relevance score per document for a fixed
+    query-term list — the keyword-relevance ranking / topical
+    up-sampling step of a curation pipeline (score docs against a
+    domain term list, filter or re-weight by the result).
+
+    Two streaming passes, NO shuffle:
+
+    1. **DF pass**: each batch emits one partial row per query term
+       with the count of member docs (a k-row combiner) plus one
+       doc-count row; the driver folds k × blocks tiny rows.
+    2. **score pass**: ``idf`` is quantized to integer micros
+       (``round(ln(N/df) · 1e6)``) so the per-doc score
+       ``Σ tf(term) · idf_micro(term)`` is an INTEGER sum — float
+       addition order can never move the result, which keeps the
+       stringified-hash oracle comparison exact regardless of SQL
+       aggregation order.  The returned ``score`` is
+       ``micros / 1e6`` (one exact division).
+
+    Terms absent from the corpus (df = 0) contribute nothing.
+    Tokenization is the module's SQL-replicable ``[^a-z0-9]+`` split.
+    → Dataset (``id_column``, ``score`` float64)."""
+    import math
+
+    from ..functions.exprs import duck_round
+
+    terms = list(terms)
+    assert all(terms), "empty-string query terms are reserved"
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        toks = [set(_tokens(t)) for t in b.column(column).to_pylist()]
+        out_t = terms + [""]  # "" row carries the batch's doc count
+        out_n = [sum(1 for s in toks if term in s) for term in terms]
+        out_n.append(len(toks))
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_n, pa.int64())})
+
+    df_tot = {t: 0 for t in terms}
+    n_docs = 0
+    for bb in (ds.map_batches(_df_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")):
+        for t, d in zip(bb.column("term").to_pylist(),
+                        bb.column("df").to_pylist()):
+            if t == "":
+                n_docs += d
+            else:
+                df_tot[t] += d
+
+    idf_i = {t: int(duck_round(math.log(n_docs / df_tot[t]) * idf_micro, 0))
+             for t in terms if df_tot[t] > 0 and n_docs > 0}
+
+    def _score(b: pa.Table) -> pa.Table:
+        scores = []
+        for t in b.column(column).to_pylist():
+            cnt = Counter(_tokens(t))
+            micros = 0
+            for term in terms:
+                i = idf_i.get(term)
+                if i is not None:
+                    micros += cnt.get(term, 0) * i
+            scores.append(micros / float(idf_micro))
+        return pa.table({id_column: b.column(id_column),
+                         "score": pa.array(scores, pa.float64())})
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -115,3 +115,25 @@ def test_ngram_counts_null_text():
     ds = ray.data.from_arrow(t)
     out = ngram_counts(ds, "text", n=1).to_pandas().set_index("ngram")
     assert out.loc["a", "n"] == 1 and out.loc["b", "n"] == 1
+
+
+def test_tfidf_scores(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from snorkel_ray.stages.corpus_stats import tfidf_scores
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "data data query"},
+        {"doc_id": 1, "text": "fast sort"},
+        {"doc_id": 2, "text": "nothing relevant"},
+        {"doc_id": 3, "text": "data fast data fast"},
+    ])
+    out = (tfidf_scores(docs, ["data", "fast", "absent"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    idf_d = round(math.log(4 / 2) * 1e6) / 1e6  # df(data)=2, N=4
+    idf_f = idf_d                               # df(fast)=2
+    assert out["score"].tolist() == [
+        2 * idf_d, idf_f, 0.0, 2 * idf_d + 2 * idf_f]
+    # a term absent from the corpus contributes nothing (df=0)
