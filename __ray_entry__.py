@@ -1582,9 +1582,24 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from snorkel_ray.stages.dedup import verify_pairs_jaccard
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    docs = docs.map_batches(
-        lambda b: b.filter(pc.less(b.column("doc_id"), 25)),
-        batch_format="pyarrow")
+
+    def _domain(b: pa.Table) -> pa.Table:
+        # restrict BOTH sides (SQL mirrors) to the domain where the
+        # two shingle kernels provably agree: ASCII text (python \w is
+        # unicode, RE2 \w is ascii) with >= 3 words (the short-doc
+        # fallback shingle has no SQL analog) — round-5 review: the
+        # unrestricted pair passed only because current testdata
+        # happens to be all-ASCII long docs
+        import re as _re
+
+        keep = [d is not None and d < 25 and t is not None
+                and t.isascii()
+                and len(_re.findall(r"\w+", t.lower())) >= 3
+                for d, t in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist())]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    docs = docs.map_batches(_domain, batch_format="pyarrow")
     pairs = rd.from_items([{"a": a, "b": b} for a, b in
                            itertools.combinations(range(25), 2)])
     out = verify_pairs_jaccard(docs, pairs, "text", "doc_id",
@@ -1622,13 +1637,21 @@ def q_minhash_dedup_clusters(sf_dir: str):
 def q_curation_funnel(sf_dir: str):
     """Composite training-data curation funnel (decontaminate by
     needle + exact dedup, first-fail accounting) — the SQL-expressible
-    stage subset so the whole pipeline is hash-checkable."""
+    stage subset so the whole pipeline is hash-checkable.  The result
+    is consumed before the funnel's parquet stage dir (owned by the
+    caller per the curate_docs contract) is deleted."""
+    import shutil
+
     from snorkel_ray.pipelines.curation import curate_docs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept, _report = curate_docs(ds, needles=["slow fast", "big vector"],
-                                dedup=True)
-    return kept.select_columns(["doc_id"]).sort("doc_id")
+    kept, report = curate_docs(ds, needles=["slow fast", "big vector"],
+                               dedup=True)
+    try:
+        return (kept.select_columns(["doc_id"]).sort("doc_id")
+                .to_pandas())
+    finally:
+        shutil.rmtree(report["work_dir"], ignore_errors=True)
 
 
 def q_curation_funnel_sharded(sf_dir: str):
@@ -2051,7 +2074,10 @@ def oracle_sql() -> dict[str, str]:
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
               FROM (SELECT doc_id,
                            regexp_extract_all(lower(text), '\w+') AS w
-                    FROM documents WHERE doc_id < 25))
+                    FROM documents
+                    WHERE doc_id < 25
+                      AND NOT regexp_matches(text, '[^\x00-\x7F]'))
+              WHERE len(w) >= 3)
             SELECT a.doc_id AS a, b.doc_id AS b,
                    round(len(list_intersect(a.g, b.g))::DOUBLE
                          / len(list_distinct(list_concat(a.g, b.g))), 4)

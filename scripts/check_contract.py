@@ -99,6 +99,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = em.queries(), em.oracle_sql()
+    if only is not None:
+        unknown = sorted(only - set(qs))
+        if unknown:  # a typo must not yield a green '0/0 passed' run
+            print(f"FAIL --only names not in queries(): {unknown}")
+            return 1
     n_fail = n_run = 0
     for name, fn in qs.items():
         if only is not None and name not in only:

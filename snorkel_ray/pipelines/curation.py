@@ -129,10 +129,13 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
     item 3 — the old version pinned the full annotated corpus TWICE via
     ``materialize()``): when not pre-annotated, the expensive annotate
     pass (+ the ``_chash`` dedup hash) is checkpointed ONCE to parquet
-    under ``work_dir`` (a temp dir by default — it must outlive the
-    returned Dataset) and the three consumers — the winner aggregate
-    (a (_chash, id)-only shuffle), the per-reason report counts, and
-    the kept filter — are cheap re-reads of that columnar file.  With
+    under ``work_dir`` (a temp dir by default) and the three consumers
+    — the winner aggregate (a (_chash, id)-only shuffle), the
+    per-reason report counts, and the kept filter — are cheap re-reads
+    of that columnar file.  The stage dir must outlive the returned
+    Dataset and is the CALLER'S to delete afterwards (its path is
+    returned as ``report["work_dir"]``); a non-empty ``work_dir`` is
+    refused — the write replaces the directory wholesale.  With
     ``pre_annotated=True`` the input IS such a persisted stage (the
     sharded runner's shard parquet, which now persists ``_chash`` too),
     so no write happens here at all."""
@@ -144,7 +147,12 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
 
     if pre_annotated:
         ds = docs
-        if dedup and "_chash" not in ds.schema().names:
+        in_schema = ds.schema(fetch_if_missing=True)
+        if in_schema is None:  # schema-less empty input: empty funnel
+            report = {"n_input": 0, "n_kept": 0,
+                      **{r: 0 for r in REASONS}}
+            return docs, report
+        if dedup and "_chash" not in in_schema.names:
             # pre-round-5 shard parquet without a persisted hash:
             # compute it on the read stream (two cheap passes) instead
             # of pinning anything
@@ -161,6 +169,16 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
             gopher=gopher, needles=needles, reason_col=reason_col,
             gopher_thresholds=gopher_thresholds,
             content_hash="_chash" if dedup else None)
+        # refuse a non-empty caller directory: atomic_write_parquet
+        # REPLACES the target (rmtree + rename) and writes a sibling
+        # '<dir>.tmp' — pointing it at shared scratch would erase it
+        # (round-5 review)
+        import os
+
+        if work_dir and os.path.isdir(work_dir) and os.listdir(work_dir):
+            raise ValueError(
+                f"curate_docs: work_dir {work_dir!r} is not empty — it "
+                "is replaced wholesale; pass a fresh directory")
         out_dir = work_dir or tempfile.mkdtemp(prefix="snorkel_ray_curation_")
         ds = atomic_write_parquet(ds, out_dir)
 
@@ -205,6 +223,11 @@ def curate_docs(docs, *, column: str = "text", id_column: str = "doc_id",
     report = {"n_input": int(sum(by_reason.values()) + n_kept),
               "n_kept": n_kept,
               **{r: int(by_reason.get(r, 0)) for r in REASONS}}
+    if not pre_annotated:
+        # the returned Dataset reads from this stage — the CALLER owns
+        # deletion after consuming it (a default temp dir is otherwise
+        # leaked per call; round-5 review)
+        report["work_dir"] = out_dir
     kept = (ds.map_batches(
         lambda b: b.filter(pc.equal(b.column(reason_col), KEPT)),
         batch_format="pyarrow").drop_columns([reason_col]))

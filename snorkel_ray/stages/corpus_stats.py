@@ -44,6 +44,7 @@ __all__ = [
     "remove_frequent_lines",
     "ngram_counts",
     "top_ngrams",
+    "tfidf_scores",
 ]
 
 _TOKEN_RE = re.compile(r"[^a-z0-9]+")

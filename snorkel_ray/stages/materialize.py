@@ -238,9 +238,18 @@ def materialize_triples(linked, *, threshold: float = 0.5, out_dir: str | None =
         # decode needs exact output types (from_pylist inference is
         # unsafe — CLAUDE.md uint64 pitfall); free when combined was
         # just materialized for the auto-switch count, a one-block
-        # probe otherwise
-        out = _dedup_distributed(
-            combined, combined.schema().base_schema).sort(_OUT_ORDER)
+        # probe otherwise.  Schema-less empty input (explicit
+        # small_output=False) gets the schema-stable empty result.
+        sch = combined.schema(fetch_if_missing=True)
+        if sch is None:
+            import ray.data as rd
+
+            from ..schemas import TRIPLES
+
+            out = rd.from_arrow(TRIPLES.empty_table())
+        else:
+            out = _dedup_distributed(
+                combined, sch.base_schema).sort(_OUT_ORDER)
     if out_dir is not None:
         from ..state.checkpoint import atomic_write_parquet
 

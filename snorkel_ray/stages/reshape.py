@@ -219,11 +219,12 @@ def _string_agg_chunked(ds, key: str, value: str, *, order: list[str],
     def _assign(b: pa.Table) -> pa.Table:
         bl = ray.get(b_ref)
         vals = b.column(ocol).to_pylist()
-        if any(v is None for v in vals):
+        if any(v is None or (isinstance(v, float) and v != v)
+               for v in vals):  # NaN is unordered too (round-5 review)
             raise ValueError(
-                "grouped_string_agg(pre_split_chunks=...): null order "
-                "values are not range-partitionable — fill or filter "
-                "upstream, or use the default single-group plan")
+                "grouped_string_agg(pre_split_chunks=...): null/NaN "
+                "order values are not range-partitionable — fill or "
+                "filter upstream, or use the default single-group plan")
         ch = (np.searchsorted(bl, np.asarray(vals, dtype=object),
                               side="right").astype(np.int64)
               if len(bl) else np.zeros(b.num_rows, np.int64))

@@ -76,7 +76,18 @@ def brute_force_topk(ds, query: np.ndarray, *, vec_column: str = "embedding",
             from ..functions.exprs import duck_round_np
 
             keys = duck_round_np(sims, round_digits)
-            ids_np = np.asarray(ids.to_pylist(), dtype=object)
+            # NaN keys (degenerate vectors) rank LAST deterministically
+            # — np.partition puts NaN above everything, which shrinks
+            # the candidate set below kk and produced ragged output
+            # columns (round-5 review); null ids cannot order
+            keys = np.where(np.isnan(keys), -np.inf, keys)
+            id_list = ids.to_pylist()
+            if any(i is None for i in id_list):
+                raise ValueError(
+                    "brute_force_topk(round_digits=...): null ids have "
+                    "no position in the (cosine, id) total order — "
+                    "filter them upstream")
+            ids_np = np.asarray(id_list, dtype=object)
         for qi in range(sims.shape[1]):
             if round_digits is None:
                 top = np.argpartition(-sims[:, qi], kk - 1)[:kk]

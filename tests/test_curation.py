@@ -103,6 +103,7 @@ def test_curation_sharded_equals_streaming(ray_session, tmp_path):
     kw = dict(lang="en", min_quality=0.3,
               needles=["secret eval answer"], dedup=True)
     stream_kept, stream_report = curate_docs(pages, **kw)
+    stream_report.pop("work_dir")  # streaming-only key (caller-owned dir)
     root = str(tmp_path / "cur")
     kept, report, manifests = run_curation_sharded(
         pages, root, num_shards=2, input_paths=paths, **kw)
@@ -173,3 +174,31 @@ def test_streaming_curate_checkpoints_to_parquet(ray_session, tmp_path):
     assert report["n_kept"] == len(got) == 4
     assert report["duplicate"] == 4
     assert sorted(got["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_curate_docs_empty_and_workdir_guards(ray_session, tmp_path):
+    """Round-5 review: schema-less empty pre-annotated input returns an
+    empty funnel instead of AttributeError; a non-empty work_dir is
+    refused (atomic_write_parquet replaces the target wholesale); the
+    stage dir is handed to the caller via report['work_dir']."""
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    from snorkel_ray.pipelines.curation import curate_docs
+
+    kept, report = curate_docs(rd.from_items([]), pre_annotated=True)
+    assert report["n_input"] == 0 and report["n_kept"] == 0
+
+    busy = tmp_path / "busy"
+    busy.mkdir()
+    (busy / "precious.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="not empty"):
+        curate_docs(rd.from_items([{"doc_id": 1, "text": "t"}]),
+                    work_dir=str(busy))
+    assert (busy / "precious.txt").exists()
+
+    kept, report = curate_docs(rd.from_items([{"doc_id": 1, "text": "t"}]))
+    assert os.path.isdir(report["work_dir"])
+    assert kept.count() == 1

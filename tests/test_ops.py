@@ -670,3 +670,24 @@ def test_brute_force_topk_rounded_boundary(ray_session):
         params={"ids": [int(x) for x in ids],
                 "s": [float(x) for x in sims]}).fetchall()
     assert out["vec_id"].tolist() == [r[0] for r in ref]
+
+
+def test_brute_force_topk_rounded_nan_and_null_guard(ray_session):
+    """Round-5 review: a NaN cosine (degenerate vector) must rank last
+    without raggeding the output columns; null ids raise."""
+    import pytest
+    import ray.data as rd
+
+    from snorkel_ray.stages.similarity import brute_force_topk
+
+    vecs = [[1.0, 0.0], [0.9, 0.1], [float("nan"), 0.0], [0.0, 1.0]]
+    ds = rd.from_items([{"vec_id": i, "embedding": v}
+                        for i, v in enumerate(vecs)])
+    out = brute_force_topk(ds, np.array([1.0, 0.0], np.float32), k=2,
+                           round_digits=2).to_pandas()
+    assert out["vec_id"].tolist() == [0, 1]  # NaN row ranked last
+
+    bad = rd.from_items([{"vec_id": None, "embedding": [1.0, 0.0]}])
+    with pytest.raises(Exception, match="null ids"):
+        brute_force_topk(bad, np.array([1.0, 0.0], np.float32), k=1,
+                         round_digits=2).to_pandas()
