@@ -1611,6 +1611,17 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def q_order_price_ntile(sf_dir: str):
+    """SQL NTILE(4) per customer over orders ordered by o_orderkey
+    (unique ⇒ the tie-free domain where NTILE is deterministic) — the
+    fine-table rank plan, no full-group sort."""
+    from snorkel_ray.stages.reshape import grouped_ntile
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = grouped_ntile(ds, "o_custkey", "o_orderkey", 4, out="bucket")
+    return out.sort(["o_custkey", "o_orderkey"])
+
+
 def q_tfidf_scores(sf_dir: str):
     """Distributed TF-IDF relevance per document for a fixed term list
     (topical up-sampling / keyword filtering).  idf is quantized to
@@ -1933,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_agg_chunked": q_supplier_name_agg_chunked,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "tfidf_scores": q_tfidf_scores,
+        "order_price_ntile": q_order_price_ntile,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2108,6 +2120,12 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(sum(contrib.c), 0) / 1000000.0 AS score
             FROM tok LEFT JOIN contrib ON tok.doc_id = contrib.doc_id
             GROUP BY tok.doc_id ORDER BY tok.doc_id""",
+        "order_price_ntile": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey) AS BIGINT)
+                     AS bucket
+            FROM orders ORDER BY o_custkey, o_orderkey""",
         "jsonl_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_len

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 __all__ = ["pivot_table", "grouped_zscore", "grouped_corr",
            "grouped_string_agg", "grouped_count_distinct",
-           "grouped_argmax", "grouped_rank"]
+           "grouped_argmax", "grouped_rank", "grouped_ntile"]
 
 
 def pivot_table(ds, index: str, pivot: str, categories: list[str], *,
@@ -494,3 +494,49 @@ def histogram_fixed_width(ds, value: str, *, lo: float, hi: float,
     return (ds.map_batches(_partial, batch_format="pyarrow")
             .groupby(bucket_col).aggregate(Sum(count_col,
                                                alias_name=count_col)))
+
+
+def grouped_ntile(ds, key: str, value: str, n: int, *,
+                  out: str = "bucket", descending: bool = False):
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY value)`` without
+    sorting any full group — for a TOTAL per-key order (``value``
+    unique within each key: SQL NTILE splits a tie bucket by physical
+    order, which no engine makes deterministic; with a unique order
+    key, ``rank() == row_number()`` and NTILE's
+    remainder-to-first-buckets rule has the exact piecewise form):
+
+        q, rem = divmod(N_key, n)          # first rem buckets get q+1
+        bucket = ceil(rank / (q+1))                 if rank <= rem*(q+1)
+                 rem + ceil((rank - rem*(q+1)) / q) otherwise
+
+    (The tempting one-liner ``floor((rank-1)*n/N)+1`` spreads the
+    remainder across buckets and diverges from SQL whenever
+    N mod n >= 2 — caught by the DuckDB parity test.)
+
+    Reuses :func:`grouped_rank`'s fine-table rank (a hot key costs its
+    distinct values, not its rows) plus a one-row-per-key count
+    attached via the count-gated ``apply_mapping``; the bucket math is
+    integer and vectorized, so the oracle hash can never drift."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    ranked = grouped_rank(ds, key, value, out="_ntile_rank",
+                          descending=descending)
+    sizes = ds.groupby(key).aggregate(Count(alias_name="_ntile_n"))
+    ranked = apply_mapping(ranked, sizes, key, key, "_ntile_n", "_ntile_n")
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("_ntile_rank").to_pylist(), dtype=np.int64)
+        N = np.asarray(b.column("_ntile_n").to_pylist(), dtype=np.int64)
+        q, rem = N // n, N % n
+        cut = rem * (q + 1)  # rows living in the (q+1)-sized buckets
+        bucket = np.where(
+            r <= cut,
+            (r - 1) // np.maximum(q + 1, 1) + 1,
+            rem + (r - cut - 1) // np.maximum(q, 1) + 1)
+        return (b.drop_columns(["_ntile_rank", "_ntile_n"])
+                .append_column(out, pa.array(bucket, pa.int64())))
+
+    return ranked.map_batches(_bucket, batch_format="pyarrow")

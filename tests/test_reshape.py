@@ -274,3 +274,26 @@ def test_string_agg_chunked_string_order_and_null_guard(ray_session):
     bad = rd.from_items([{"k": 1, "v": "a"}, {"k": 1, "v": None}])
     with pytest.raises(Exception, match="null order"):
         grouped_string_agg(bad, "k", "v", pre_split_chunks=2).to_pandas()
+
+
+def test_grouped_ntile_matches_sql(ray_session):
+    """The closed form floor((rank-1)*n/N)+1 equals SQL NTILE's
+    remainder-to-first-buckets rule on every (N, n) shape."""
+    import duckdb
+    import ray.data as rd
+
+    from snorkel_ray.stages.reshape import grouped_ntile
+
+    rows = []
+    for k, sz in [("a", 7), ("b", 5), ("c", 1), ("d", 12)]:
+        rows += [{"k": k, "v": i * 10} for i in range(sz)]
+    for n in (1, 2, 3, 4, 5):
+        got = (grouped_ntile(rd.from_items(rows).repartition(4),
+                             "k", "v", n)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        ref = duckdb.sql(
+            "SELECT k, v, ntile($n) OVER (PARTITION BY k ORDER BY v) b "
+            "FROM (SELECT unnest($ks) k, unnest($vs) v) ORDER BY k, v",
+            params={"n": n, "ks": [r["k"] for r in rows],
+                    "vs": [r["v"] for r in rows]}).df()
+        assert got["bucket"].tolist() == ref["b"].tolist(), f"n={n}"
