@@ -1611,6 +1611,63 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting: customer × orders ×
+    lineitem(R) × nation, top 20 customers by lost revenue in a
+    quarter).  Plan: pruned reads push the date window and returnflag
+    into the parquet scan; lineitem pre-aggregates revenue per
+    orderkey inside map_batches (combiner) before ONE hash join to the
+    date-windowed orders; the per-customer aggregate joins the tiny
+    customer×nation dim broadcast-side; final 20-row sort."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    import pyarrow.dataset as pds
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pds.field("o_orderdate")
+                           >= np.datetime64("1996-01-01", "us"))
+                   & (pds.field("o_orderdate")
+                      < np.datetime64("1996-04-01", "us")))
+
+    def _rev_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rev = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))
+        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
+                           "revenue": rev})
+        out = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"],
+               filter=pds.field("l_returnflag") == "R") \
+        .map_batches(_rev_partial, batch_format="pyarrow")
+    li = semi_join(li, orders, "l_orderkey", "o_orderkey")
+    joined = li.join(orders.select_columns(["o_orderkey", "o_custkey"]),
+                     join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("revenue", alias_name="revenue"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = apply_mapping(cust, nation, "c_nationkey", "n_nationkey",
+                         "n_name", "n_name").select_columns(
+        ["c_custkey", "c_name", "n_name"])
+    out = apply_mapping(per_cust, cust, "o_custkey", "c_custkey",
+                        "c_name", "c_name")
+    out = apply_mapping(out, cust, "o_custkey", "c_custkey",
+                        "n_name", "n_name")
+    out = _round_cols(out, {"revenue": 2}).sort(
+        ["revenue", "o_custkey"], descending=[True, False]).limit(20)
+    return out.select_columns(["o_custkey", "c_name", "n_name", "revenue"])
+
+
 def q_order_price_ntile(sf_dir: str):
     """SQL NTILE(4) per customer over orders ordered by o_orderkey
     (unique ⇒ the tie-free domain where NTILE is deterministic) — the
@@ -1945,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "tfidf_scores": q_tfidf_scores,
         "order_price_ntile": q_order_price_ntile,
+        "tpch_q10": q_tpch_q10,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2126,6 +2184,19 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY o_orderkey) AS BIGINT)
                      AS bucket
             FROM orders ORDER BY o_custkey, o_orderkey""",
+        "tpch_q10": """
+            SELECT o_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY o_custkey, c_name, n_name
+            ORDER BY revenue DESC, o_custkey LIMIT 20""",
         "jsonl_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_len
