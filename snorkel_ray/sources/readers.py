@@ -126,11 +126,15 @@ def read_xml_multidocs(paths: str | list[str], *, doc_xpath: str = ".//document"
         for path, raw in zip(batch.column("path").to_pylist(),
                              batch.column("bytes").to_pylist()):
             root = ET.fromstring(bytes(raw).decode("utf-8", errors="replace"))
-            for el in root.findall(doc_xpath):
+            for i, el in enumerate(root.findall(doc_xpath)):
                 did = el.findtext(id_xpath) or ""
                 txt = " ".join(t.strip() for t in el.find(text_xpath).itertext()) \
                     if el.find(text_xpath) is not None else ""
-                names.append(did or os.path.basename(path))
+                # id-less docs get basename#index: a shared bare
+                # basename gave DISTINCT docs identical url/doc_id,
+                # conflating them in every downstream dedup/join
+                # (round-5 review)
+                names.append(did or f"{os.path.basename(path)}#{i}")
                 texts.append(txt)
                 metas.append(json.dumps({"source_file": os.path.basename(path)}))
         return _docs_table(names, texts, metas)
@@ -169,6 +173,9 @@ def read_jsonl_docs(path: str | list[str], *,
                 obj = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if not isinstance(obj, dict):
+                continue  # valid JSON but not a record ('null', arrays
+                #           — crawl junk); skip per the contract above
             names.append(str(obj.get(name_field, "")))
             texts.append(str(obj.get(text_field, "")))
             metas.append(json.dumps(
@@ -210,13 +217,15 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
 
     _os.makedirs(out_dir, exist_ok=True)
     stale = _glob.glob(_os.path.join(out_dir, "part-*.jsonl"))
-    if stale:
-        if not overwrite:
-            raise FileExistsError(
-                f"write_jsonl: {out_dir} already holds {len(stale)} "
-                "shard(s); pass overwrite=True to replace them")
-        for p in stale:
-            _os.remove(p)
+    if stale and not overwrite:
+        raise FileExistsError(
+            f"write_jsonl: {out_dir} already holds {len(stale)} "
+            "shard(s); pass overwrite=True to replace them")
+    # also clear orphaned '.part-*.jsonl.tmp' from a killed run — the
+    # rename only replaces a tmp of identical content (round-5 review)
+    for p in stale + _glob.glob(_os.path.join(out_dir,
+                                              ".part-*.jsonl.tmp")):
+        _os.remove(p)
 
     def _write(batch: pa.Table) -> pa.Table:
         cols = columns or batch.schema.names
@@ -238,6 +247,14 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
     import ray.data as rd
 
     mdf = ds.map_batches(_write, batch_format="pyarrow").to_pandas()
+    if mdf.empty:
+        import pandas as pd
+
+        # zero-row input: _write never ran; an empty to_pandas() loses
+        # even the column names (round-5 review: salt mode raised
+        # KeyError 'path') — return a schema-stable empty manifest
+        mdf = pd.DataFrame({"path": pd.Series([], dtype=str),
+                            "n_rows": pd.Series([], dtype="int64")})
     if salt_shards:
         # restore block multiplicity: copy the j-th occurrence of a
         # collapsed content name to its own file (driver-side; the
@@ -262,7 +279,13 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None,
         # directory instead of double-counting (round-4 review)
         mdf = mdf.drop_duplicates("path")
     mdf = mdf.reset_index(drop=True)
-    return rd.from_pandas(mdf).materialize()
+    # explicit schema: rd.from_pandas on a ZERO-ROW object-dtype frame
+    # drops the columns entirely (round-5 review)
+    mt = pa.Table.from_pandas(
+        mdf, schema=pa.schema([("path", pa.string()),
+                               ("n_rows", pa.int64())]),
+        preserve_index=False)
+    return rd.from_arrow(mt).materialize()
 
 
 def read_parquet_pruned(path: str | list[str], *, columns: list[str] | None = None,

@@ -65,6 +65,33 @@ def atomic_write_parquet(ds, out_dir: str):
     return rd.read_parquet(out_dir)
 
 
+def atomic_stage_write(ds, final: str) -> int:
+    """Shared atomic stage write (round-5 review: CheckpointedPipeline
+    and the sharded runner carried drifting copies): write to
+    ``<final>.tmp`` on an EXPLICIT LocalFileSystem (concurrent driver
+    threads race pyarrow/fsspec filesystem inference — the documented
+    fsspec-http crash the sharded copy fixed and this copy had not),
+    count rows from the written file metadata (no recompute), clear +
+    rename into place.  → row count."""
+    import pyarrow.parquet as pq
+
+    from pyarrow.fs import LocalFileSystem
+
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp, filesystem=LocalFileSystem())
+    _ensure_parquet_dir(tmp, ds)
+    rows = 0
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            rows += pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return rows
+
+
 def write_manifest(path: str, payload: dict) -> None:
     """Atomic manifest write (tmp + rename): a run killed mid-write
     must leave either no manifest or a complete one — a truncated
@@ -146,26 +173,12 @@ class CheckpointedPipeline:
         elif os.path.exists(final):
             shutil.rmtree(final)
 
-        tmp = final + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         import time
 
         t0 = time.perf_counter()
         ds = build()
-        ds.write_parquet(tmp)
-        _ensure_parquet_dir(tmp, ds)
+        rows = atomic_stage_write(ds, final)
         wall = time.perf_counter() - t0
-        # count rows from written file metadata (cheap, no recompute)
-        import pyarrow.parquet as pq
-
-        rows = 0
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                rows += pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
         write_manifest(manifest_path, {
             "fingerprint": fp, "stage": name, "rows": rows,
             "wall_sec": round(wall, 3),

@@ -20,7 +20,6 @@ rerun skips 0..k-1.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import time
@@ -111,6 +110,43 @@ def shard_pages(pages, num_shards: int):
             for s in range(num_shards)]
 
 
+def _file_shards(paths: list[str], num_shards: int, *, columns=None):
+    """(idx, per-file-group read, input token) shard triples — the
+    scale path shared by every sharded runner (round-5 review: three
+    near-identical copies had already drifted on the columns kwarg)."""
+    import ray.data as rd
+
+    from pyarrow.fs import LocalFileSystem
+
+    groups = shard_paths(paths, num_shards)
+    return [(i, rd.read_parquet(g, filesystem=LocalFileSystem(),
+                                columns=columns),
+             shard_input_token(g))
+            for i, g in enumerate(groups)]
+
+
+def _hash_shards(pages, id_column: str, num_shards: int):
+    """Hash-shard fallback on an explicit id column (full re-scan per
+    shard; prefer input_paths at scale).  Row-count token per
+    run_sharded_stage's fallback note."""
+    tok = f"rows={pages.count()}"
+
+    def _filter(s: int):
+        def _f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column(id_column).to_pylist()
+            keep = np.fromiter(
+                ((hash64(str(u)) % num_shards) == s for u in ids),
+                dtype=bool, count=len(ids))
+            return b.filter(pa.array(keep))
+
+        return _f
+
+    return [(s, pages.map_batches(_filter(s), batch_format="pyarrow"), tok)
+            for s in range(num_shards)]
+
+
 def _shard_parquet_files(dirs: list[str]) -> list[str]:
     """All shard part files, SKIPPING zero-column placeholders (an
     all-filtered shard whose schema was unknowable writes a 0-column
@@ -189,32 +225,12 @@ def run_sharded_stage(
             shutil.rmtree(final)
         elif os.path.exists(final):
             shutil.rmtree(final)
-        tmp = final + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        from .checkpoint import atomic_stage_write
+
         t0 = time.perf_counter()
         out = build(ds)
-        # explicit local filesystem: concurrent driver threads race
-        # pyarrow/fsspec filesystem inference (observed partial-import
-        # crash of fsspec.implementations.http under ThreadPoolExecutor)
-        from pyarrow.fs import LocalFileSystem
-
-        from .checkpoint import _ensure_parquet_dir
-
-        out.write_parquet(tmp, filesystem=LocalFileSystem())
-        _ensure_parquet_dir(tmp, out)
+        rows = atomic_stage_write(out, final)
         wall = time.perf_counter() - t0
-
-        import pyarrow.parquet as pq
-
-        rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
-                   for f in os.listdir(tmp) if f.endswith(".parquet"))
-        # a run killed between the rename and the manifest write leaves
-        # `final` without _manifest.json; os.replace onto a non-empty
-        # dir raises ENOTEMPTY — clear it first (mirrors checkpoint.py)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
         m = {
             "fingerprint": fp,
             "stage": stage_name,
@@ -271,9 +287,20 @@ def run_kg_pipeline_sharded(
     from ..stages.linking import build_link_index
     from ..stages.materialize import link_candidates, materialize_triples
 
+    from .checkpoint import fingerprint as _fp
+    from .resources import broadcast_key
+
     alias_ref = ray.put(alias_table)
     kb_ref = ray.put({"facts": [tuple(f) for f in (facts or [])],
                       "link_index": build_link_index(alias_table)}) if facts else None
+    # content digest of the broadcast KB inputs — they determine the
+    # shard outputs (candidates + DS-LF votes), so an edited alias
+    # table / fact set must invalidate shard checkpoints exactly as it
+    # does the streaming pipeline's stages (pipelines/kg.py kb_fp,
+    # round-4 review; the sharded runner missed the same fix —
+    # round-5 review)
+    kb_fp = _fp(broadcast_key(alias_table),
+                sorted(tuple(f) for f in (facts or [])))
 
     def build(shard_ds):
         filtered = shard_ds.map_batches(
@@ -287,17 +314,12 @@ def run_kg_pipeline_sharded(
 
     shards = None
     if input_paths is not None:
-        from pyarrow.fs import LocalFileSystem
-
-        groups = shard_paths(input_paths, num_shards)
-        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem()),
-                   shard_input_token(g))
-                  for i, g in enumerate(groups)]
+        shards = _file_shards(input_paths, num_shards)
 
     dirs, manifests = run_sharded_stage(
         pages, root, "labeled", build, num_shards=num_shards,
         params={"lang": lang, "lfs": "kg_v1", "cooccur_pred": cooccur_pred,
-                "cooccur_gap": cooccur_gap},
+                "cooccur_gap": cooccur_gap, "kb_fp": kb_fp},
         input_fingerprint=input_fingerprint, shards=shards)
 
     files = _shard_parquet_files(dirs)
@@ -354,32 +376,10 @@ def run_minhash_dedup_sharded(
                                   seed=seed)
 
     if input_paths is not None:
-        from pyarrow.fs import LocalFileSystem
-
-        groups = shard_paths(input_paths, num_shards)
-        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem(),
-                                      columns=[id_column, column]),
-                   shard_input_token(g))
-                  for i, g in enumerate(groups)]
+        shards = _file_shards(input_paths, num_shards,
+                              columns=[id_column, column])
     else:
-        # hash-shard on the dedup id (the generic fallback in
-        # shard_pages assumes a url column); full re-scan per shard —
-        # prefer input_paths at scale
-        def _filter(s: int):
-            def _f(b: pa.Table) -> pa.Table:
-                import numpy as np
-
-                ids = b.column(id_column).to_pylist()
-                keep = np.fromiter(
-                    ((hash64(str(u)) % num_shards) == s for u in ids),
-                    dtype=bool, count=len(ids))
-                return b.filter(pa.array(keep))
-
-            return _f
-
-        tok = f"rows={pages.count()}"  # see run_sharded_stage fallback note
-        shards = [(s, pages.map_batches(_filter(s), batch_format="pyarrow"),
-                   tok) for s in range(num_shards)]
+        shards = _hash_shards(pages, id_column, num_shards)
 
     dirs, manifests = run_sharded_stage(
         pages, root, "minhash_sigs", build, num_shards=num_shards,
@@ -438,29 +438,9 @@ def run_curation_sharded(
                              content_hash="_chash" if dedup else None)
 
     if input_paths is not None:
-        from pyarrow.fs import LocalFileSystem
-
-        groups = shard_paths(input_paths, num_shards)
-        shards = [(i, rd.read_parquet(g, filesystem=LocalFileSystem()),
-                   shard_input_token(g))
-                  for i, g in enumerate(groups)]
+        shards = _file_shards(input_paths, num_shards)
     else:
-        tok = f"rows={pages.count()}"  # see run_sharded_stage fallback note
-
-        def _filter(s: int):
-            def _f(b: pa.Table) -> pa.Table:
-                import numpy as np
-
-                ids = b.column(id_column).to_pylist()
-                keep = np.fromiter(
-                    ((hash64(str(u)) % num_shards) == s for u in ids),
-                    dtype=bool, count=len(ids))
-                return b.filter(pa.array(keep))
-
-            return _f
-
-        shards = [(s, pages.map_batches(_filter(s), batch_format="pyarrow"),
-                   tok) for s in range(num_shards)]
+        shards = _hash_shards(pages, id_column, num_shards)
 
     dirs, manifests = run_sharded_stage(
         pages, root, "curation_annotated", build, num_shards=num_shards,

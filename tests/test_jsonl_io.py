@@ -97,3 +97,51 @@ def test_write_jsonl_salt_shards(ray_session, tmp_path):
 
     lines = [json.loads(open(f).read()) for f in files]
     assert lines[0] == lines[1] == {"doc_id": 1, "text": "same"}
+
+
+def test_read_jsonl_skips_non_dict_json(tmp_path):
+    """Round-5 review: 'null', numbers and arrays are valid JSON but
+    not records — crawl junk must be skipped, not crash obj.get."""
+    p = tmp_path / "junk.jsonl"
+    p.write_text('{"url": "u1", "text": "t1"}\n'
+                 'null\n'
+                 '[1, 2, 3]\n'
+                 '"just a string"\n'
+                 '42\n'
+                 '{"url": "u2", "text": "t2"}\n')
+    out = read_jsonl_docs(str(p)).to_pandas()
+    assert sorted(out.url) == ["u1", "u2"]
+
+
+def test_write_jsonl_empty_dataset_schema_stable(ray_session, tmp_path):
+    """Round-5 review: a zero-row input never runs the writer, and a
+    bare .to_pandas() loses the manifest columns — salt mode raised
+    KeyError 'path'.  Must return an empty (path, n_rows) manifest."""
+    import ray.data as rd
+
+    empty = rd.from_items([{"url": "x", "text": "y"}]).filter(
+        lambda r: False)
+    for salt in (False, True):
+        d = str(tmp_path / f"empty-{salt}")
+        m = write_jsonl(empty, d, salt_shards=salt)
+        # NB: assert on Dataset.schema(), not .to_pandas() — Ray's
+        # to_pandas drops the columns of any zero-row dataset
+        assert [f.name for f in m.schema().base_schema] == \
+            ["path", "n_rows"]
+        assert m.count() == 0
+
+
+def test_write_jsonl_clears_orphaned_tmp(tmp_path):
+    """Round-5 review: a killed run can leave '.part-*.jsonl.tmp'; a
+    rerun must clear them (the atomic rename only replaces a tmp of
+    identical content)."""
+    import glob
+
+    out_dir = str(tmp_path / "orphan")
+    os.makedirs(out_dir)
+    orphan = os.path.join(out_dir, ".part-deadbeef.jsonl.tmp")
+    open(orphan, "w").write('{"half": "written')
+    t = pa.table({"url": ["a"], "text": ["x"]})
+    write_jsonl(ray.data.from_arrow(t), out_dir)
+    assert not os.path.exists(orphan)
+    assert not glob.glob(os.path.join(out_dir, ".part-*.jsonl.tmp"))

@@ -85,3 +85,19 @@ def test_read_parquet_pruned_pushdown(tmp_path):
     # the scan itself produced only the matching rows (vs 10k unfiltered)
     stats = pruned.stats()
     assert "ReadParquet" in stats
+
+
+def test_read_xml_multidocs_idless_docs_stay_distinct(ray_session, tmp_path):
+    """Round-5 review: docs without an <id> used to share the bare file
+    basename as url/doc_id, conflating distinct documents in every
+    downstream dedup/join.  They must get basename#index ids."""
+    from snorkel_ray.sources.readers import read_xml_multidocs
+
+    (tmp_path / "noid.xml").write_text(
+        """<root>
+             <document><text>first body</text></document>
+             <document><text>second body</text></document>
+           </root>""")
+    df = read_xml_multidocs(str(tmp_path)).to_pandas().sort_values("url")
+    assert df["url"].tolist() == ["noid.xml#0", "noid.xml#1"]
+    assert df["text"].tolist() == ["first body", "second body"]

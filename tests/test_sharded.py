@@ -204,3 +204,28 @@ def test_sharded_minhash_equals_streaming(ray_session, tmp_path):
     mem, _ = run_minhash_dedup_sharded(
         pages, str(tmp_path / "dd2"), num_shards=2)
     assert norm(mem) == norm(stream)
+
+
+def test_sharded_kb_edit_invalidates_shards(ray_session, tmp_path):
+    """Round-5 review: the sharded runner's checkpoint fingerprint must
+    cover the broadcast KB inputs (alias table + facts), exactly as the
+    streaming pipeline's kb_fp does — an edited fact set with unchanged
+    pages must RERUN every shard, not skip to stale labeled output."""
+    kb = build_kb(42)
+    root = str(tmp_path / "kbfp")
+    pages = pages_dataset(60, 42)
+
+    _, r1 = run_kg_pipeline_sharded(pages, alias_table(kb), kb["facts"],
+                                    root=root, num_shards=2)
+    assert all(not m["skipped"] for m in r1["shards"])
+
+    # same pages, same KB -> all skip
+    _, r2 = run_kg_pipeline_sharded(pages, alias_table(kb), kb["facts"],
+                                    root=root, num_shards=2)
+    assert all(m["skipped"] for m in r2["shards"])
+
+    # same pages, EDITED facts -> every shard must rerun
+    facts_edit = list(kb["facts"])[:-1]
+    _, r3 = run_kg_pipeline_sharded(pages, alias_table(kb), facts_edit,
+                                    root=root, num_shards=2)
+    assert all(not m["skipped"] for m in r3["shards"])
