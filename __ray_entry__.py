@@ -1679,6 +1679,34 @@ def q_order_price_ntile(sf_dir: str):
     return out.sort(["o_custkey", "o_orderkey"])
 
 
+def q_lineitem_melt(sf_dir: str):
+    """SQL UNPIVOT (wide → long) over a pruned lineitem slice: one row
+    per (line, measure column), values cast to one float64 type —
+    shuffle-free per-batch stacking."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.stages.reshape import melt
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"],
+               filter=pds.field("l_orderkey") <= 2000)
+    out = melt(ds, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.sort(["l_orderkey", "l_linenumber", "variable"])
+
+
+def q_event_type_mode(sf_dir: str):
+    """Per-user most frequent event type (SQL mode(), ties broken by
+    the smallest value — the oracle spells the identical row_number
+    rule since SQL leaves mode() ties unspecified)."""
+    from snorkel_ray.stages.reshape import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_mode(ds, "user_id", "event_type")
+    return out.sort("user_id")
+
+
 def q_tfidf_scores(sf_dir: str):
     """Distributed TF-IDF relevance per document for a fixed term list
     (topical up-sampling / keyword filtering).  idf is quantized to
@@ -2003,6 +2031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": q_tfidf_scores,
         "order_price_ntile": q_order_price_ntile,
         "tpch_q10": q_tpch_q10,
+        "lineitem_melt": q_lineitem_melt,
+        "event_type_mode": q_event_type_mode,
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
@@ -2184,6 +2214,29 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY o_orderkey) AS BIGINT)
                      AS bucket
             FROM orders ORDER BY o_custkey, o_orderkey""",
+        "lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, variable, value FROM (
+                SELECT l_orderkey, l_linenumber,
+                       'l_quantity' AS variable,
+                       CAST(l_quantity AS DOUBLE) AS value
+                FROM lineitem WHERE l_orderkey <= 2000
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                       CAST(l_extendedprice AS DOUBLE)
+                FROM lineitem WHERE l_orderkey <= 2000
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount',
+                       CAST(l_discount AS DOUBLE)
+                FROM lineitem WHERE l_orderkey <= 2000)
+            ORDER BY l_orderkey, l_linenumber, variable""",
+        "event_type_mode": """
+            SELECT user_id, event_type AS mode FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id""",
         "tpch_q10": """
             SELECT o_custkey, c_name, n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

@@ -26,7 +26,8 @@ import pyarrow as pa
 
 __all__ = ["pivot_table", "grouped_zscore", "grouped_corr",
            "grouped_string_agg", "grouped_count_distinct",
-           "grouped_argmax", "grouped_rank", "grouped_ntile"]
+           "grouped_argmax", "grouped_rank", "grouped_ntile",
+           "melt", "grouped_mode"]
 
 
 def pivot_table(ds, index: str, pivot: str, categories: list[str], *,
@@ -528,8 +529,10 @@ def grouped_ntile(ds, key: str, value: str, n: int, *,
     ranked = apply_mapping(ranked, sizes, key, key, "_ntile_n", "_ntile_n")
 
     def _bucket(b: pa.Table) -> pa.Table:
-        r = np.asarray(b.column("_ntile_rank").to_pylist(), dtype=np.int64)
-        N = np.asarray(b.column("_ntile_n").to_pylist(), dtype=np.int64)
+        r = b.column("_ntile_rank").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        N = b.column("_ntile_n").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         q, rem = N // n, N % n
         cut = rem * (q + 1)  # rows living in the (q+1)-sized buckets
         bucket = np.where(
@@ -540,3 +543,72 @@ def grouped_ntile(ds, key: str, value: str, n: int, *,
                 .append_column(out, pa.array(bucket, pa.int64())))
 
     return ranked.map_batches(_bucket, batch_format="pyarrow")
+
+
+def melt(ds, id_vars: list[str], value_vars: list[str], *,
+         var_name: str = "variable", value_name: str = "value",
+         value_type=None):
+    """Wide → long (SQL ``UNPIVOT`` / pandas ``melt``): one output row
+    per (input row, value column), carrying ``id_vars`` plus the column
+    name in ``var_name`` and its value cast to a common ``value_type``
+    (default float64 — UNPIVOT requires one value type; pass e.g.
+    ``pa.string()`` for text columns).
+
+    Purely row-local: a per-batch ``map_batches`` that stacks one
+    slice per value column (the constant name column is a take over a
+    zeros index — no per-row Python), so it streams with ZERO shuffle
+    at any scale.  Output size is ``len(value_vars)`` × input — prune
+    ``id_vars`` at the read."""
+    vt = value_type if value_type is not None else pa.float64()
+
+    def _melt(b: pa.Table) -> pa.Table:
+        zeros = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        parts = []
+        for v in value_vars:
+            cols = {c: b.column(c) for c in id_vars}
+            cols[var_name] = pa.array([v], pa.string()).take(zeros)
+            cols[value_name] = b.column(v).cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key: str, value: str, *, out: str = "mode",
+                 count_out: str | None = None):
+    """Per-key most frequent value (SQL ``mode()``), ties broken by the
+    SMALLEST value so the result is deterministic (SQL's ``mode()``
+    leaves ties unspecified — the oracle must spell the same
+    ``row_number() OVER (ORDER BY count DESC, value ASC)`` rule).
+
+    Plan: per-batch (key, value) count partials → ``groupby(key,
+    value).sum`` (one row per DISTINCT pair — the fine-table bound of
+    :func:`grouped_quantiles`) → skew-safe ``grouped_topk(k=1)`` on
+    (count DESC, value ASC) over the fine table.  A hot key costs its
+    distinct values, never its rows.  Nulls are ignored (SQL mode
+    semantics); an all-null key is absent from the output."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.skew import grouped_topk
+
+    def _partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(value)))
+        df = (b.select([key, value]).to_pandas()
+              .groupby([key, value], sort=False, dropna=False)
+              .size().reset_index(name="_c"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fine = (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby([key, value]).aggregate(Sum("_c", alias_name="_n")))
+    win = grouped_topk(fine, key, ["_n", value],
+                       descending=[True, False], k=1)
+
+    def _shape(b: pa.Table) -> pa.Table:
+        cols = {key: b.column(key), out: b.column(value)}
+        if count_out:
+            cols[count_out] = b.column("_n")
+        return pa.table(cols)
+
+    return win.map_batches(_shape, batch_format="pyarrow")

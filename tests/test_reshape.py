@@ -297,3 +297,55 @@ def test_grouped_ntile_matches_sql(ray_session):
             params={"n": n, "ks": [r["k"] for r in rows],
                     "vs": [r["v"] for r in rows]}).df()
         assert got["bucket"].tolist() == ref["b"].tolist(), f"n={n}"
+
+
+def test_melt_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.reshape import melt
+
+    df = pd.DataFrame({"id": [1, 2, 3], "tag": ["a", "b", "c"],
+                       "x": [1.5, 2.5, 3.5], "y": [10, 20, 30]})
+    got = (melt(rd.from_pandas(df).repartition(2), ["id", "tag"],
+                ["x", "y"])
+           .to_pandas().sort_values(["id", "variable"])
+           .reset_index(drop=True))
+    exp = (df.melt(id_vars=["id", "tag"], value_vars=["x", "y"])
+           .astype({"value": "float64"})
+           .sort_values(["id", "variable"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # string mode: non-numeric value columns need an explicit type
+    import pyarrow as pa
+    sgot = (melt(rd.from_pandas(df), ["id"], ["tag"],
+                 value_type=pa.string())
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert sgot.value.tolist() == ["a", "b", "c"]
+
+
+def test_grouped_mode_matches_sql_tie_rule(ray_session):
+    """Ties broken by SMALLEST value — the deterministic rule the
+    oracle spells with row_number(); includes an all-null key (absent)
+    and a null value inside a group (ignored)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.reshape import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "b", "b", "c", "c"],
+        "v": ["y", "x", "y", "q", "p", "q", "p", None, "z"]})
+    got = (grouped_mode(rd.from_pandas(df).repartition(3), "k", "v",
+                        count_out="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM (
+            SELECT k, v, count(*) AS n, row_number() OVER (
+                PARTITION BY k ORDER BY count(*) DESC, v ASC) AS rn
+            FROM df WHERE v IS NOT NULL GROUP BY k, v)
+        WHERE rn = 1 ORDER BY k""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    # 'b' has the 2-2 tie: p < q wins
+    assert got.set_index("k").loc["b", "mode"] == "p"
