@@ -1259,6 +1259,40 @@ def q_asof_last_click_chunked(sf_dir: str):
             .sort("event_id"))
 
 
+def q_asof_next_click(sf_dir: str):
+    """Forward as-of join (r5): every non-click event gets the value
+    of the user's NEXT click at-or-after its timestamp — checked
+    against DuckDB's native ASOF LEFT JOIN with <=."""
+    from ray.data.aggregate import Max
+
+    from snorkel_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def _nonclick(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+        }).filter(pc.not_equal(b.column("event_type"), "click"))
+
+    def _click(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"), "value": t.column("value")})
+
+    left = ev.map_batches(_nonclick, batch_format="pyarrow")
+    right = (ev.map_batches(_click, batch_format="pyarrow")
+             .groupby(["user_id", "ts"])
+             .aggregate(Max("value", alias_name="value")))
+    out = asof_join(left, right, "user_id", "ts", ["value"],
+                    rename={"value": "next_click_value"},
+                    direction="forward")
+    return (out.select_columns(["event_id", "next_click_value"])
+            .sort("event_id"))
+
+
 def q_order_price_histogram(sf_dir: str):
     """Equal-width price histogram (width_bucket semantics; the oracle
     states the identical float64 floor expression)."""
@@ -2036,6 +2070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts_chunked": q_user_session_counts_chunked,
         "event_value_lag_chunked": q_event_value_lag_chunked,
         "asof_last_click_chunked": q_asof_last_click_chunked,
+        "asof_next_click": q_asof_next_click,
         "sliding_window_mean_chunked": q_sliding_window_mean_chunked,
         "cumulative_sum_chunked": q_cumulative_sum_chunked,
         "approx_price_quantiles": q_approx_price_quantiles,
@@ -2519,6 +2554,15 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'click'
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
+        "asof_next_click": """
+            SELECT l.event_id, r.value AS next_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type != 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                            FROM events WHERE event_type = 'click'
+                            GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
             ORDER BY l.event_id""",
         "order_price_histogram": """
             SELECT CAST(least(greatest(

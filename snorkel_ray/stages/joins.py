@@ -86,11 +86,17 @@ def semi_join(ds, keys, key_col: str, keys_col: str | None = None, *,
 
 def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
               rename: dict[str, str] | None = None,
-              pre_split_chunk: str | None = "auto"):
-    """Backward as-of join: attach to every left row the right row with
-    the greatest ``ts`` ≤ the left row's ``ts`` within the same
-    ``key`` (DuckDB ``ASOF LEFT JOIN`` semantics — the standard
-    time-series enrichment the Dataset API lacks).
+              pre_split_chunk: str | None = "auto",
+              direction: str = "backward"):
+    """As-of join: attach to every left row the right row with the
+    greatest ``ts`` ≤ the left row's ``ts`` (``direction='backward'``,
+    the default) or the smallest ``ts`` ≥ it (``'forward'`` — next
+    event, e.g. time-to-next-click) within the same ``key`` (DuckDB
+    ``ASOF LEFT JOIN`` semantics with ``>=`` resp. ``<=`` — the
+    standard time-series enrichment the Dataset API lacks).  Both
+    directions are inclusive at equal timestamps and share every plan
+    below; forward mirrors the per-group sort order and fill direction
+    (bfill, reverse chunk scan).
 
     Plan: tag both sides, union, ONE hash-partitioned groupby on the
     key, per-group time sort + forward-fill of the right values onto
@@ -113,6 +119,10 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
     import pyarrow.compute as pc
 
     from .windows import _resolve_chunk
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', "
+                         f"got {direction!r}")
 
     # probe the LEFT (big) side only; a hot key on the small right
     # side alone cannot blow a reducer
@@ -195,12 +205,19 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
 
     if pre_split_chunk is not None:
         return _asof_chunked(tagged, key, ts, out_cols, pre_split_chunk,
-                             _restore_types)
+                             _restore_types, direction)
+
+    fwd = direction == "forward"
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "_side"], kind="mergesort")  # right first
+        # backward: right first at equal ts, ffill down.
+        # forward: right AFTER left at equal ts, bfill up — both
+        # inclusive matches.
+        g = g.sort_values([ts, "_side"],
+                          ascending=[True, not fwd], kind="mergesort")
         for oc in out_cols:
-            g["_r_" + oc] = g["_r_" + oc].ffill()
+            g["_r_" + oc] = (g["_r_" + oc].bfill() if fwd
+                             else g["_r_" + oc].ffill())
         out = g[g["_side"] == 1].drop(columns=["_side"])
         return out.rename(columns={"_r_" + oc: oc for oc in out_cols})
 
@@ -209,7 +226,8 @@ def asof_join(left, right, key: str, ts: str, value_cols: list[str], *,
 
 
 def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
-                  pre_split_chunk: str, restore_types):
+                  pre_split_chunk: str, restore_types,
+                  direction: str = "backward"):
     """Two-level as-of plan over the tagged union (see ``asof_join``).
 
     Level 1 (groups bounded by chunk width × event rate): within-chunk
@@ -221,9 +239,16 @@ def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
     STRICTLY earlier chunk ('need' sorts before 'ctx' within a chunk,
     so a chunk's own summary never fills its heads).  Heads then pick
     up the carry via ``apply_mapping`` on the (key, chunk) composite
-    (broadcast under its limit, hash join above)."""
+    (broadcast under its limit, hash join above).
+
+    ``direction='forward'`` is the exact time-mirror: within-chunk
+    bfill, 'head' = left rows AFTER the chunk's last right, 'ctx' =
+    the chunk's FIRST right row, and the level-2 scan runs in reverse
+    chunk order so a need chunk's carry is the earliest ctx of a
+    strictly LATER chunk."""
     import pyarrow.compute as pc
 
+    fwd = direction == "forward"
     chunk = pd.Timedelta(pre_split_chunk)
     rcols = ["_r_" + oc for oc in out_cols]
 
@@ -232,10 +257,16 @@ def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
         return b.append_column("_chunk", pa.Array.from_pandas(c))
 
     def _l1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "_side"], kind="mergesort")  # right first
-        g["_seen"] = (g["_side"] == 0).cumsum() > 0
+        g = g.sort_values([ts, "_side"],
+                          ascending=[True, not fwd], kind="mergesort")
+        side = g["_side"].to_numpy()
+        if fwd:
+            # a right row at-or-after (positional reverse cumsum)
+            g["_seen"] = np.cumsum((side == 0)[::-1])[::-1] > 0
+        else:
+            g["_seen"] = np.cumsum(side == 0) > 0
         for rc in rcols:
-            g[rc] = g[rc].ffill()
+            g[rc] = g[rc].bfill() if fwd else g[rc].ffill()
         left_rows = g[g["_side"] == 1]
         done = left_rows[left_rows["_seen"]].copy()
         done["_role"] = "done"
@@ -245,7 +276,9 @@ def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
         parts = [done, head]
         rights = g[g["_side"] == 0]
         if len(rights):
-            ctx = rights.iloc[[-1]].copy()
+            # the chunk's boundary right row: last for backward
+            # (carry-out), first for forward (carry-back)
+            ctx = rights.iloc[[0 if fwd else -1]].copy()
             ctx["_role"] = "ctx"
             parts.append(ctx)
         if len(head):
@@ -256,10 +289,13 @@ def _asof_chunked(tagged, key: str, ts: str, out_cols: list[str],
 
     def _l2(g: pd.DataFrame) -> pd.DataFrame:
         # 'need' (0) sorts before 'ctx' (1) within a chunk: heads must
-        # not see their own chunk's summary
+        # not see their own chunk's summary.  Forward scans chunks in
+        # REVERSE order so ffill carries a later chunk's first right
+        # back to earlier need chunks.
         g = g.copy()
         g["_rs"] = (g["_role"] == "ctx").astype(int)
-        g = g.sort_values(["_chunk", "_rs"], kind="mergesort")
+        g = g.sort_values(["_chunk", "_rs"],
+                          ascending=[not fwd, True], kind="mergesort")
         for rc in rcols:
             g[rc] = g[rc].ffill()
         need = g[g["_role"] == "need"]

@@ -691,3 +691,83 @@ def test_brute_force_topk_rounded_nan_and_null_guard(ray_session):
     with pytest.raises(Exception, match="null ids"):
         brute_force_topk(bad, np.array([1.0, 0.0], np.float32), k=1,
                          round_digits=2).to_pandas()
+
+
+def test_asof_join_forward_semantics(ray_session):
+    """Forward as-of join (r5): SMALLEST right ts >= left ts per key,
+    inclusive at equal timestamps, null when no later right row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    T = lambda m: base + pd.Timedelta(minutes=m)
+    left = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": [T(0), T(10), T(20), T(5), T(7)],
+    })).repartition(2)
+    right = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": [T(10), T(15), T(6)],
+        "px": [1.0, 2.0, 9.0],
+    })).repartition(2)
+
+    out = (asof_join(left, right, "k", "ts", ["px"],
+                     rename={"px": "next_px"}, direction="forward")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    got = out["next_px"].tolist()
+    assert got[0] == 1.0            # earliest later right (10 over 15)
+    assert got[1] == 1.0            # inclusive equal-ts match
+    assert pd.isna(got[2])          # nothing at-or-after 20
+    assert got[3] == 9.0            # b@5 -> b@6
+    assert pd.isna(got[4])          # b@7 after the only right
+    assert out["id"].dtype == np.int64
+
+    import pytest
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", ["px"], direction="nearest")
+
+
+def test_asof_join_forward_chunked_matches_duckdb(ray_session):
+    """Forward chunked plan vs plain plan vs DuckDB's native
+    ASOF LEFT JOIN with <= — all three must agree on sparse data where
+    the carry chases matches several chunks ahead."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from snorkel_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(29)
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    eid = 0
+    for uid in range(4):
+        t = base
+        for _ in range(200):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 4000)))
+            lrows.append({"id": eid, "k": f"u{uid}", "ts": t})
+            eid += 1
+            if rng.random() < 0.15:
+                rrows.append({"k": f"u{uid}",
+                              "ts": t + pd.Timedelta(seconds=30),
+                              "px": float(rng.uniform(0, 100))})
+    ldf, rdf = pd.DataFrame(lrows), pd.DataFrame(rrows)
+    left = rd.from_pandas(ldf).repartition(4)
+    right = rd.from_pandas(rdf).repartition(3)
+
+    exp = duckdb.sql("""
+        SELECT l.id, r.px FROM ldf l
+        ASOF LEFT JOIN rdf r ON l.k = r.k AND l.ts <= r.ts
+        ORDER BY l.id""").df()
+
+    for chunk in (None, "1D"):
+        got = (asof_join(left, right, "k", "ts", ["px"],
+                         direction="forward", pre_split_chunk=chunk)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        eq = ((got["px"] == exp["px"])
+              | (got["px"].isna() & exp["px"].isna()))
+        assert eq.all(), f"mismatch with pre_split_chunk={chunk}"
+    assert exp["px"].isna().sum() > 0  # the no-later-right case occurs
