@@ -1991,7 +1991,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     CORRECTNESS_r03.json truncated at 50). The head therefore carries
     the flagship plus exactly one representative per operator family;
     same-oracle ``*_chunked`` duplicates and rows-only entries fill the
-    tail.  scripts/check_contract.py still verifies ALL entries."""
+    tail.  scripts/check_contract.py still verifies ALL entries.
+    Round 5 promoted the curation funnel (the #2 end-to-end pipeline)
+    and the new tfidf/ngram-jaccard families into the head, demoting
+    three entries whose machinery stays driver-covered by same-family
+    heads (distinct→union/count-distinct, tumbling→the four other
+    window heads, zscore→corr's identical two-pass plan)."""
     return {
         # --- head: flagship + one query per operator family (<=50) ---
         "kg_pipeline": q_kg_pipeline_sf,
@@ -2012,7 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_nation_region": q_broadcast_join_nation_region,
         "top_orders_per_segment": q_top_orders_per_segment,
         "filter_long_docs": q_filter_long_docs,
-        "distinct_part_types": q_distinct_part_types,
+        "curation_funnel": q_curation_funnel,
         "exact_dedup_documents": q_exact_dedup_documents,
         "decontaminate_docs": q_decontaminate_docs,
         "gopher_quality": q_gopher_quality,
@@ -2026,7 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": q_lineitem_corr,
         "supplier_name_agg": q_supplier_name_agg,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        "event_value_zscore": q_event_value_zscore,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "events_range_join": q_events_range_join,
         "event_user_distinct": q_event_user_distinct,
         "order_priority_argmax": q_order_priority_argmax,
@@ -2039,7 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "events_json_extract": q_events_json_extract,
         "user_session_counts": q_user_session_counts,
-        "user_daily_windows": q_user_daily_windows,
+        "tfidf_scores": q_tfidf_scores,
         "event_value_lag": q_event_value_lag,
         "asof_last_click": q_asof_last_click,
         "order_price_quantiles": q_order_price_quantiles,
@@ -2055,14 +2060,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottom_k_sample_orders": q_bottom_k_sample_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "events_daily_counts": q_events_daily_counts,
-        "curation_funnel": q_curation_funnel,
+        "distinct_part_types": q_distinct_part_types,
         "order_price_histogram": q_order_price_histogram,
         "order_price_quartiles": q_order_price_quartiles,
         "event_value_range_sum": q_event_value_range_sum,
         "curation_funnel_sharded": q_curation_funnel_sharded,
         "supplier_name_agg_chunked": q_supplier_name_agg_chunked,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "tfidf_scores": q_tfidf_scores,
+        "event_value_zscore": q_event_value_zscore,
+        "user_daily_windows": q_user_daily_windows,
         "order_price_ntile": q_order_price_ntile,
         "tpch_q10": q_tpch_q10,
         "lineitem_melt": q_lineitem_melt,
