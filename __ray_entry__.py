@@ -1985,6 +1985,259 @@ def q_kmeans_clusters(sf_dir: str):
             .sort("centroid_id"))
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): every predicate rides
+    the parquet scan (row-group pruning at scale), then per-block
+    dot-product partials stream into a driver merge — a global scalar
+    never justifies a shuffle (CLAUDE rule 1)."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.functions.exprs import duck_round
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+               filter=(pds.field("l_shipdate")
+                       >= np.datetime64("1996-01-01", "us"))
+               & (pds.field("l_shipdate") < np.datetime64("1997-01-01", "us"))
+               & (pds.field("l_discount") >= 0.05)
+               & (pds.field("l_discount") <= 0.07)
+               & (pds.field("l_quantity") < 24.0))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        rev = float(np.dot(np.asarray(b.column("l_extendedprice")),
+                           np.asarray(b.column("l_discount"))))
+        return pa.table({"revenue": pa.array([rev], pa.float64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    total = float(sum(r["revenue"] for r in parts))
+    return pa.table({"revenue": pa.array([duck_round(total, 2)],
+                                         pa.float64())})
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 (order-priority checking): orders in a quarter that
+    have ≥1 line shipped after the order date (the correlated EXISTS).
+    Plan: the date window prunes orders at the scan; their keys prune
+    lineitem via the count-gated semi-join; per-orderkey MAX(shipdate)
+    partials combine inside map_batches before one small groupby; the
+    EXISTS becomes max_ship > o_orderdate after an apply_mapping
+    lookup.  Timestamps ride as int64 µs so the broadcast-map path
+    never round-trips datetime dtypes."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Max
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   filter=(pds.field("o_orderdate")
+                           >= np.datetime64("1996-01-01", "us"))
+                   & (pds.field("o_orderdate")
+                      < np.datetime64("1996-04-01", "us")))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    li = semi_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def _max_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "l_orderkey": np.asarray(b.column("l_orderkey")),
+            "max_ship": np.asarray(pc.cast(b.column("l_shipdate"),
+                                           pa.int64())),
+        })
+        out = df.groupby("l_orderkey", as_index=False).max()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li_max = (li.map_batches(_max_partial, batch_format="pyarrow")
+              .groupby("l_orderkey")
+              .aggregate(Max("max_ship", alias_name="max_ship")))
+    marked = apply_mapping(orders, li_max, "o_orderkey", "l_orderkey",
+                           "max_ship", "max_ship")
+
+    def _late(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        mask = pc.and_kleene(pc.is_valid(b.column("max_ship")),
+                             pc.greater(b.column("max_ship"), od))
+        return b.filter(pc.fill_null(mask, False))
+
+    late = marked.map_batches(_late, batch_format="pyarrow")
+    return (late.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="order_count"))
+            .sort("o_orderpriority"))
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-priority split; adapted — the synth
+    lineitem has no shipmode/commitdate, so the grouping key is
+    l_returnflag and "late" means shipped after the order date): one
+    hash join at line grain (the correlated l_shipdate > o_orderdate
+    predicate cannot pre-aggregate), then vectorized CASE sums."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _flags(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = b.filter(pc.greater(b.column("l_shipdate"),
+                                b.column("o_orderdate")))
+        high = pc.is_in(b.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi = np.asarray(pc.cast(high, pa.int64()))
+        df = pd.DataFrame({"l_returnflag":
+                           b.column("l_returnflag").to_pylist(),
+                           "high_line_count": hi,
+                           "low_line_count": 1 - hi})
+        out = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (joined.map_batches(_flags, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count"))
+            .sort("l_returnflag"))
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): one month of lineitem (scan-
+    pruned) looks up p_type via the count-gated mapping join, then
+    per-block (promo, total) revenue partials merge on the driver into
+    the single percentage row."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.joins import apply_mapping
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               filter=(pds.field("l_shipdate")
+                       >= np.datetime64("1996-03-01", "us"))
+               & (pds.field("l_shipdate") < np.datetime64("1996-04-01", "us")))
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = apply_mapping(li, part, "l_partkey", "p_partkey",
+                       "p_type", "p_type")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        rev = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))
+        promo = np.asarray(pc.equal(pc.fill_null(b.column("p_type"), ""),
+                                    "PROMO"))
+        return pa.table({
+            "promo": pa.array([float(rev[promo].sum())], pa.float64()),
+            "total": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    parts = li.map_batches(_partial, batch_format="pyarrow").take_all()
+    promo = float(sum(r["promo"] for r in parts))
+    total = float(sum(r["total"] for r in parts))
+    pct = 100.0 * promo / total if total else None
+    return pa.table({"promo_pct": pa.array([duck_round(pct, 4)],
+                                           pa.float64())})
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): per-orderkey quantity
+    partials combine inside map_batches before the groupby; the HAVING
+    filter shrinks the result to the qualifying handful BEFORE any
+    join; orders then customer names attach via count-gated mapping
+    joins; final tiny sort."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def _qty_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
+                           "sum_qty": np.asarray(b.column("l_quantity"))})
+        out = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    qty = (li.map_batches(_qty_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("sum_qty", alias_name="sum_qty")))
+    big = qty.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), 250.0)),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    orders = apply_mapping(orders, big, "o_orderkey", "l_orderkey",
+                           "sum_qty", "sum_qty")
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("sum_qty"))),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = apply_mapping(orders, cust, "o_custkey", "c_custkey",
+                        "c_name", "c_name")
+    out = _round_cols(out, {"sum_qty": 2}) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(100)
+    return out.select_columns(["c_name", "o_custkey", "o_orderkey",
+                               "o_orderdate", "o_totalprice", "sum_qty"])
+
+
+def q_open_not_failed_customers(sf_dir: str):
+    """SQL EXCEPT: custkeys with an open ('O') order and no failed
+    ('F') order — distinct-left groupby, then the count-gated
+    anti-semi-join (broadcast at test SF, hash join at scale)."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.stages.setops import except_distinct
+
+    left = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"],
+                 filter=pds.field("o_orderstatus") == "O")
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"],
+                  filter=pds.field("o_orderstatus") == "F")
+    return except_distinct(left, right, ["o_custkey"]).sort("o_custkey")
+
+
+def q_custkey_status_both_years(sf_dir: str):
+    """SQL INTERSECT over a COMPOSITE key: (custkey, status) pairs
+    present in both 1996 and 1997 — exercises the length-prefixed
+    composed-key path of stages/setops.py."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.stages.setops import intersect_distinct
+
+    def _year(y):
+        return _read(sf_dir, "orders",
+                     ["o_custkey", "o_orderstatus", "o_orderdate"],
+                     filter=(pds.field("o_orderdate")
+                             >= np.datetime64(f"{y}-01-01", "us"))
+                     & (pds.field("o_orderdate")
+                        < np.datetime64(f"{y + 1}-01-01", "us")))
+
+    out = intersect_distinct(_year(1996), _year(1997),
+                             ["o_custkey", "o_orderstatus"])
+    return out.sort(["o_custkey", "o_orderstatus"])
+
+
+def q_lineitem_grouping_sets(sf_dir: str):
+    """SQL GROUPING SETS ((l_returnflag), (l_linestatus), ()): the
+    shared one-pass ROLLUP/CUBE engine with caller-chosen levels —
+    neither margin recomputes from the input, and the fine level is
+    (correctly) absent because it was not requested."""
+    from snorkel_ray.stages.rollup import grouping_sets_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = grouping_sets_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [["l_returnflag"], ["l_linestatus"], []],
+        {"n_items": ("count", ""), "sum_qty": ("sum", "l_quantity")})
+    out = _round_cols(out, {"sum_qty": 2})
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -2078,6 +2331,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_click": q_asof_next_click,
         "sliding_window_mean_chunked": q_sliding_window_mean_chunked,
         "cumulative_sum_chunked": q_cumulative_sum_chunked,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "open_not_failed_customers": q_open_not_failed_customers,
+        "custkey_status_both_years": q_custkey_status_both_years,
+        "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2413,6 +2674,78 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "tpch_q18": """
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, round(sum(l_quantity), 2) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING sum(l_quantity) > 250)
+            GROUP BY c_name, o_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "open_not_failed_customers": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_custkey""",
+        "custkey_status_both_years": """
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            INTERSECT
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            ORDER BY o_custkey, o_orderstatus""",
+        "lineitem_grouping_sets": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
             ORDER BY l_returnflag, l_linestatus""",
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,

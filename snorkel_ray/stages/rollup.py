@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["rollup_aggregate", "cube_aggregate"]
+__all__ = ["rollup_aggregate", "cube_aggregate", "grouping_sets_aggregate"]
 
 _REAGG = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
@@ -75,7 +75,36 @@ def cube_aggregate(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     return _multi_level(ds, keys, groupings, spec, all_label)
 
 
-def _multi_level(ds, keys, groupings, spec, all_label):
+def grouping_sets_aggregate(ds, keys: list[str],
+                            groupings: list[list[str]],
+                            spec: dict[str, tuple[str, str]],
+                            *, all_label: str = "ALL"):
+    """``GROUP BY GROUPING SETS(groupings)``: exactly one row set per
+    requested grouping (each a subset of ``keys``), grouped-out key
+    columns filled with ``all_label``.  Same one-pass plan as
+    ROLLUP/CUBE: ONE fine groupby over the input computes the partials;
+    every requested grouping re-aggregates that (distinct-keys-sized)
+    fine table — so N grouping sets cost one input pass, not N."""
+    if not groupings:
+        raise ValueError("groupings must be non-empty")
+    canon = []
+    for g in groupings:
+        extra = set(g) - set(keys)
+        if extra:
+            raise ValueError(f"grouping set {g!r} not a subset of keys: "
+                             f"{sorted(extra)}")
+        canon.append([k for k in keys if k in set(g)])
+    if len({tuple(g) for g in canon}) != len(canon):
+        raise ValueError("duplicate grouping sets (SQL would emit "
+                         "duplicate rows; dedupe the request)")
+    include_fine = any(len(g) == len(keys) for g in canon)
+    rest = [g for g in canon if len(g) != len(keys)]
+    return _multi_level(ds, keys, rest, spec, all_label,
+                        include_fine=include_fine)
+
+
+def _multi_level(ds, keys, groupings, spec, all_label, *,
+                 include_fine: bool = True):
     """Shared ROLLUP/CUBE engine: ONE fine groupby over the input,
     then one re-aggregation of the (materialized, distinct-keys-sized)
     fine table per coarser grouping, unioned with grouped-out key
@@ -105,7 +134,10 @@ def _multi_level(ds, keys, groupings, spec, all_label):
 
         return _f
 
-    levels = [fine.map_batches(_with_all([]), batch_format="pyarrow")]
+    levels = []
+    if include_fine:
+        levels.append(fine.map_batches(_with_all([]),
+                                       batch_format="pyarrow"))
     for kept in groupings:
         missing = [k for k in keys if k not in kept]
         if kept:

@@ -1,0 +1,93 @@
+"""SQL set operations (INTERSECT / EXCEPT, distinct semantics) on
+Datasets.
+
+Reference analog: the union/difference bookkeeping the snorkel
+pipeline does when combining candidate extractions across sessions
+(``snorkel/candidates.py`` ≈L120 — set arithmetic over candidate key
+sets); re-expressed as Ray Data plans.
+
+Plan shape (both ops): the LEFT side is reduced to distinct keys with
+one groupby (shuffle moves distinct-keys-per-block, not rows — Ray's
+hash aggregate pre-combines inside each map task), then the RIGHT side
+rides :func:`snorkel_ray.stages.joins.semi_join`'s count-gated plan:
+small right sides broadcast (``ray.put`` once, vectorized ``pc.is_in``
+per batch — zero extra shuffle), large ones hash-join.  Nothing
+materializes the full input on the driver.
+
+Multi-column keys are composed into one binary key per row
+(length-prefixed concat, collision-free) on BOTH sides, so the join
+machinery stays single-column; the original columns are carried
+through and the composed key dropped at the end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["intersect_distinct", "except_distinct"]
+
+_SK = "__setop_key"
+
+
+def _compose_key(cols: list[str]):
+    """Per-batch composed key: cast each column to string and join with
+    a length prefix per field (``len:value|``) — unambiguous even when
+    values contain the separator."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            s = pc.cast(b.column(c), pa.string())
+            s = pc.fill_null(s, "\x00null")
+            ln = pc.cast(pc.utf8_length(s), pa.string())
+            parts.append(pc.binary_join_element_wise(ln, s, ":"))
+        key = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "|")
+        return b.append_column(_SK, key)
+
+    return _f
+
+
+def _distinct(ds, cols: list[str]):
+    """Distinct rows over ``cols`` via one grouped count (Ray's hash
+    aggregate combines per block before the shuffle)."""
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(cols if len(cols) > 1 else cols[0]) \
+        .aggregate(Count(alias_name="__n"))
+    return out.drop_columns(["__n"])
+
+
+def _setop(left, right, cols, right_cols, *, anti: bool):
+    from snorkel_ray.stages.joins import semi_join
+
+    right_cols = right_cols or cols
+    if len(right_cols) != len(cols):
+        raise ValueError("left/right column lists must have equal length")
+
+    out = _distinct(left.select_columns(cols), cols)
+    if len(cols) == 1:
+        return semi_join(out, right.select_columns(right_cols),
+                         cols[0], right_cols[0], anti=anti)
+
+    out = out.map_batches(_compose_key(cols), batch_format="pyarrow")
+    rkeys = right.select_columns(right_cols) \
+        .map_batches(_compose_key(right_cols), batch_format="pyarrow") \
+        .select_columns([_SK])
+    out = semi_join(out, rkeys, _SK, _SK, anti=anti)
+    return out.drop_columns([_SK])
+
+
+def intersect_distinct(left, right, cols: list[str],
+                       right_cols: list[str] | None = None):
+    """``SELECT DISTINCT cols FROM left INTERSECT SELECT right_cols
+    FROM right`` — distinct left keys that also appear on the right."""
+    return _setop(left, right, cols, right_cols, anti=False)
+
+
+def except_distinct(left, right, cols: list[str],
+                    right_cols: list[str] | None = None):
+    """``SELECT DISTINCT cols FROM left EXCEPT SELECT right_cols FROM
+    right`` — distinct left keys absent from the right."""
+    return _setop(left, right, cols, right_cols, anti=True)

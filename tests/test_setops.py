@@ -1,0 +1,108 @@
+"""Set operations (INTERSECT/EXCEPT distinct) and GROUPING SETS."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from snorkel_ray.stages.rollup import grouping_sets_aggregate
+from snorkel_ray.stages.setops import except_distinct, intersect_distinct
+
+
+def _ds(rows, cols):
+    return ray.data.from_arrow(
+        pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+    ).repartition(2)
+
+
+def test_intersect_single_col_distinct():
+    left = _ds([(1,), (2,), (2,), (3,)], ["k"])
+    right = _ds([(2,), (3,), (3,), (4,)], ["k"])
+    out = intersect_distinct(left, right, ["k"]).to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+
+
+def test_except_single_col_distinct():
+    left = _ds([(1,), (2,), (2,), (3,)], ["k"])
+    right = _ds([(2,), (4,)], ["k"])
+    out = except_distinct(left, right, ["k"]).to_pandas()
+    assert sorted(out["k"]) == [1, 3]
+
+
+def test_except_empty_right_keeps_distinct_left():
+    left = _ds([(1,), (1,), (2,)], ["k"])
+    right = _ds([(9,)], ["k"]).filter(lambda r: False)
+    out = except_distinct(left, right, ["k"]).to_pandas()
+    assert sorted(out["k"]) == [1, 2]
+
+
+def test_intersect_multi_col_composed_key():
+    left = _ds([(1, "a"), (1, "b"), (2, "a"), (2, "a")], ["k", "s"])
+    right = _ds([(1, "b"), (2, "a"), (3, "a")], ["k", "s"])
+    out = intersect_distinct(left, right, ["k", "s"]).to_pandas()
+    got = sorted(map(tuple, out[["k", "s"]].values.tolist()))
+    assert got == [(1, "b"), (2, "a")]
+
+
+def test_multi_col_key_no_separator_collision():
+    # ("a|b", "c") vs ("a", "b|c") must NOT collide: the composed key
+    # is length-prefixed per field
+    left = _ds([("a|b", "c")], ["x", "y"])
+    right = _ds([("a", "b|c")], ["x", "y"])
+    out = intersect_distinct(left, right, ["x", "y"]).to_pandas()
+    assert len(out) == 0
+
+
+def test_intersect_different_right_col_names():
+    left = _ds([(1,), (2,)], ["k"])
+    right = _ds([(2,), (3,)], ["j"])
+    out = intersect_distinct(left, right, ["k"], ["j"]).to_pandas()
+    assert sorted(out["k"]) == [2]
+
+
+def test_setop_column_count_mismatch_raises():
+    left = _ds([(1,)], ["k"])
+    right = _ds([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError):
+        intersect_distinct(left, right, ["k"], ["a", "b"])
+
+
+def _gs_input():
+    return _ds([("x", "p", 1.0), ("x", "q", 2.0),
+                ("y", "p", 4.0), ("y", "p", 8.0)], ["a", "b", "v"])
+
+
+def test_grouping_sets_exact_without_fine():
+    out = grouping_sets_aggregate(
+        _gs_input(), ["a", "b"], [["a"], ["b"], []],
+        {"n": ("count", ""), "s": ("sum", "v")}) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    expect = pd.DataFrame([
+        {"a": "ALL", "b": "ALL", "n": 4, "s": 15.0},
+        {"a": "ALL", "b": "p", "n": 3, "s": 13.0},
+        {"a": "ALL", "b": "q", "n": 1, "s": 2.0},
+        {"a": "x", "b": "ALL", "n": 2, "s": 3.0},
+        {"a": "y", "b": "ALL", "n": 2, "s": 12.0},
+    ])
+    pd.testing.assert_frame_equal(
+        out[["a", "b", "n", "s"]].astype({"n": "int64"}), expect)
+
+
+def test_grouping_sets_includes_fine_when_requested():
+    out = grouping_sets_aggregate(
+        _gs_input(), ["a", "b"], [["b", "a"]],  # order canonicalized
+        {"n": ("count", "")}).to_pandas()
+    got = sorted(map(tuple, out[["a", "b", "n"]].values.tolist()))
+    assert got == [("x", "p", 1), ("x", "q", 1), ("y", "p", 2)]
+
+
+def test_grouping_sets_validation():
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(_gs_input(), ["a", "b"], [],
+                                {"n": ("count", "")})
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(_gs_input(), ["a", "b"], [["z"]],
+                                {"n": ("count", "")})
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(_gs_input(), ["a", "b"],
+                                [["a"], ["a"]], {"n": ("count", "")})
