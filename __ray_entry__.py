@@ -2238,6 +2238,167 @@ def q_lineitem_grouping_sets(sf_dir: str):
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, disjunctive predicate; adapted
+    — no container/shipmode in the synth part, so the clauses are
+    (brand, size range, quantity range) triples): the disjunction's
+    HULL rides both scans (quantity ∈ [1, 30] on lineitem, the three
+    brands on part), the qualifying parts prune lineitem via the
+    count-gated semi-join, part attrs attach via mapping joins, and
+    the exact OR-of-ANDs evaluates vectorized per batch into revenue
+    partials merged on the driver — a global scalar never shuffles."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    clauses = [("Brand#12", 1, 15, 1.0, 11.0),
+               ("Brand#15", 10, 30, 10.0, 20.0),
+               ("Brand#18", 20, 50, 20.0, 30.0)]
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"],
+                 filter=pds.field("p_brand").isin(
+                     [c[0] for c in clauses]))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"],
+               filter=(pds.field("l_quantity")
+                       >= min(c[3] for c in clauses))
+               & (pds.field("l_quantity") <= max(c[4] for c in clauses)))
+    li = semi_join(li, part, "l_partkey", "p_partkey")
+    li = apply_mapping(li, part, "l_partkey", "p_partkey",
+                       "p_brand", "p_brand")
+    li = apply_mapping(li, part, "l_partkey", "p_partkey",
+                       "p_size", "p_size")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        brand = np.asarray(b.column("p_brand"))
+        size = np.asarray(pc.fill_null(b.column("p_size"), -1))
+        qty = np.asarray(b.column("l_quantity"))
+        mask = np.zeros(len(b), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in clauses:
+            mask |= ((brand == br) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        rev = (np.asarray(b.column("l_extendedprice"))[mask]
+               * (1.0 - np.asarray(b.column("l_discount"))[mask]))
+        return pa.table({"revenue": pa.array([float(rev.sum())],
+                                             pa.float64())})
+
+    parts = li.map_batches(_partial, batch_format="pyarrow").take_all()
+    total = float(sum(r["revenue"] for r in parts))
+    return pa.table({"revenue": pa.array([duck_round(total, 2)],
+                                         pa.float64())})
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 (parts/supplier relationship; adapted — no partsupp
+    table, so lineitem is the part↔supplier relation and "complaint"
+    suppliers are those with negative balance): the blocklist is an
+    anti semi-join (6 keys → broadcast ``pc.is_in``), part predicates
+    ride the scan and prune lineitem via a semi-join, attrs attach via
+    mapping joins, and count(DISTINCT l_suppkey) per (p_brand, p_type)
+    runs on the pair-keyed skew-safe plan — a hot brand's suppliers
+    spread across reducers."""
+    import pyarrow.dataset as pds
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+    from snorkel_ray.stages.reshape import grouped_count_distinct
+
+    sizes = [1, 5, 9, 14, 19, 23, 36, 45]
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"],
+                 filter=(pds.field("p_brand") != "Brand#1")
+                 & pds.field("p_size").isin(sizes))
+    bad = _read(sf_dir, "supplier", ["s_suppkey"],
+                filter=pds.field("s_acctbal") < 0.0)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li = semi_join(li, bad, "l_suppkey", "s_suppkey", anti=True)
+    li = semi_join(li, part, "l_partkey", "p_partkey")
+    li = apply_mapping(li, part, "l_partkey", "p_partkey",
+                       "p_brand", "p_brand")
+    li = apply_mapping(li, part, "l_partkey", "p_partkey",
+                       "p_type", "p_type")
+    out = grouped_count_distinct(li, ["p_brand", "p_type"], "l_suppkey",
+                                 out="supplier_cnt")
+    return out.sort(["supplier_cnt", "p_brand", "p_type"],
+                    descending=[True, False, False])
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 (global-sales opportunity; adapted — no phone column,
+    so the "country code" group is c_nationkey, and "no orders" is "no
+    OPEN order" — the synth generator gives almost every customer some
+    order): the scalar AVG subquery is per-block (sum, count) partials
+    merged on the driver and embedded in a vectorized filter (broadcast
+    of one float, zero shuffle); NOT EXISTS is the count-gated anti
+    semi-join over the scan-pruned open orders; the final groupby runs
+    over the filtered remnant only."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.joins import semi_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _avg_partial(b: pa.Table) -> pa.Table:
+        bal = np.asarray(b.column("c_acctbal"))
+        pos = bal[bal > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())], pa.float64()),
+                         "n": pa.array([int(len(pos))], pa.int64())})
+
+    parts = cust.map_batches(_avg_partial,
+                             batch_format="pyarrow").take_all()
+    tot_n = sum(r["n"] for r in parts)
+    avg_bal = (sum(r["s"] for r in parts) / tot_n) if tot_n else 0.0
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"],
+                   filter=pds.field("o_orderstatus") == "O")
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"), avg_bal)),
+        batch_format="pyarrow")
+    noord = semi_join(rich, orders, "c_custkey", "o_custkey", anti=True)
+    out = (noord.groupby("c_nationkey")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("c_acctbal", alias_name="totacctbal")))
+    out = _round_cols(out, {"totacctbal": 2})
+    return out.sort("c_nationkey")
+
+
+def q_user_first_last_event(sf_dir: str):
+    """SQL FIRST_VALUE / LAST_VALUE OVER (PARTITION BY user_id ORDER BY
+    ts, event_id): two skew-safe ``grouped_argmax`` passes (per-batch
+    1-row partials per user — a hot user ships one row per block, never
+    its history), the "last" side then attaches to the "first" side via
+    mapping joins on the per-user-sized result."""
+    from snorkel_ray.stages.joins import apply_mapping
+    from snorkel_ray.stages.reshape import grouped_argmax
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    first = grouped_argmax(ev, "user_id", ["ts", "event_id"],
+                           descending=[False, False])
+    last = grouped_argmax(ev, "user_id", ["ts", "event_id"],
+                          descending=[True, True])
+
+    def _pick(prefix):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": b.column("user_id"),
+                f"{prefix}_type": b.column("event_type"),
+                f"{prefix}_value": b.column("value"),
+            })
+        return _f
+
+    first = first.map_batches(_pick("first"), batch_format="pyarrow")
+    last = last.map_batches(_pick("last"), batch_format="pyarrow")
+    out = apply_mapping(first, last, "user_id", "user_id",
+                        "last_type", "last_type")
+    out = apply_mapping(out, last, "user_id", "user_id",
+                        "last_value", "last_value")
+    return out.sort("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -2339,6 +2500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "open_not_failed_customers": q_open_not_failed_customers,
         "custkey_status_both_years": q_custkey_status_both_years,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "user_first_last_event": q_user_first_last_event,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2747,6 +2912,53 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
             ORDER BY l_returnflag, l_linestatus""",
+        "tpch_q16": """
+            SELECT p_brand, p_type,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type
+            ORDER BY supplier_cnt DESC, p_brand, p_type""",
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#18' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "tpch_q22": """
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'O')
+            GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "user_first_last_event": """
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_type END)
+                     AS first_type,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+                   max(CASE WHEN rn_d = 1 THEN event_type END)
+                     AS last_type,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS last_value
+            FROM (SELECT user_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) rn_a,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) rn_d
+                  FROM events)
+            GROUP BY user_id ORDER BY user_id""",
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

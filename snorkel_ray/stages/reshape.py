@@ -249,10 +249,10 @@ def _string_agg_chunked(ds, key: str, value: str, *, order: list[str],
     return parts.groupby(key).map_groups(_agg2, batch_format="pandas")
 
 
-def grouped_count_distinct(ds, key: str, value: str, *,
+def grouped_count_distinct(ds, key: str | list[str], value: str, *,
                            out: str = "n_distinct"):
-    """Exact SQL ``count(DISTINCT value)`` per key, skew-safe in three
-    vectorized steps:
+    """Exact SQL ``count(DISTINCT value)`` per key (single column or a
+    composite key list), skew-safe in three vectorized steps:
 
     1. per-batch ``drop_duplicates`` on (key, value) — a free combiner
        that shrinks the shuffle to each block's distinct pairs;
@@ -266,14 +266,17 @@ def grouped_count_distinct(ds, key: str, value: str, *,
     import pandas as pd
     from ray.data.aggregate import Count
 
+    keys = [key] if isinstance(key, str) else list(key)
+
     def _local(b: pa.Table) -> pa.Table:
-        df = b.select([key, value]).to_pandas().drop_duplicates()
+        df = b.select([*keys, value]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pairs = (ds.map_batches(_local, batch_format="pyarrow")
-             .groupby([key, value]).aggregate(Count(alias_name="_c"))
+             .groupby([*keys, value]).aggregate(Count(alias_name="_c"))
              .drop_columns(["_c", value]))
-    return pairs.groupby(key).aggregate(Count(alias_name=out))
+    return pairs.groupby(keys if len(keys) > 1 else keys[0]) \
+        .aggregate(Count(alias_name=out))
 
 
 def grouped_rank(ds, key: str, value: str, *, out: str = "rank",

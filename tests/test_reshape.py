@@ -107,6 +107,23 @@ def test_grouped_count_distinct_matches_pandas():
     assert out.n.tolist() == ref.n.tolist()
 
 
+def test_grouped_count_distinct_composite_key():
+    from snorkel_ray.stages.reshape import grouped_count_distinct
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({"k1": rng.integers(0, 3, 400),
+                       "k2": rng.choice(["x", "y"], 400),
+                       "u": rng.integers(0, 25, 400)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (grouped_count_distinct(ds, ["k1", "k2"], "u", out="n")
+           .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    ref = (df.groupby(["k1", "k2"])["u"].nunique()
+           .reset_index().rename(columns={"u": "n"}))
+    assert out.k1.tolist() == ref.k1.tolist()
+    assert out.k2.tolist() == ref.k2.tolist()
+    assert out.n.tolist() == ref.n.tolist()
+
+
 def test_grouped_argmax_ties_deterministic():
     from snorkel_ray.stages.reshape import grouped_argmax
 
