@@ -2399,6 +2399,290 @@ def q_user_first_last_event(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations): the tiny nation
+    table broadcasts its names onto supplier and customer (one
+    ``apply_mapping`` each), the two-nation filter shrinks BOTH
+    dimension sides before lineitem is touched, lineitem prunes via
+    count-gated semi-joins and picks up supp/cust nation + o_custkey
+    through mapping joins (hash path automatically for the large
+    orders side), and the (supp, cust, year) revenue aggregates ride
+    per-batch pandas combiners before one small groupby."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = apply_mapping(supp, nation, "s_nationkey", "n_nationkey",
+                         "n_name", "supp_nation")
+    supp = supp.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("supp_nation"),
+                                    value_set=pa.array([n1, n2]))),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = apply_mapping(cust, nation, "c_nationkey", "n_nationkey",
+                         "n_name", "cust_nation")
+    cust = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("cust_nation"),
+                                    value_set=pa.array([n1, n2]))),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    li = semi_join(li, supp, "l_suppkey", "s_suppkey")
+    li = apply_mapping(li, supp, "l_suppkey", "s_suppkey",
+                       "supp_nation", "supp_nation")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = apply_mapping(li, orders, "l_orderkey", "o_orderkey",
+                       "o_custkey", "o_custkey")
+    li = semi_join(li, cust, "o_custkey", "c_custkey")
+    li = apply_mapping(li, cust, "o_custkey", "c_custkey",
+                       "cust_nation", "cust_nation")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sn = np.asarray(b.column("supp_nation"))
+        cn = np.asarray(b.column("cust_nation"))
+        mask = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        vol = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))[mask]
+        yr = np.asarray(pc.year(b.column("l_shipdate")))[mask]
+        df = pd.DataFrame({"supp_nation": sn[mask], "cust_nation": cn[mask],
+                           "l_year": yr.astype(np.int64), "revenue": vol})
+        out = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (li.map_batches(_partial, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    out = _round_cols(out, {"revenue": 2})
+    return out.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution — an aggregate of
+    an aggregate over a filtered LEFT OUTER join): per-custkey count
+    partials combine per batch before the first groupby; customers
+    with no qualifying order enter as count 0 via the mapping join's
+    null → fill; the second groupby runs over the (distinct counts)-
+    sized histogram."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   filter=pds.field("o_orderpriority") != "1-URGENT")
+
+    def _cnt_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"o_custkey": np.asarray(b.column("o_custkey"))})
+        out = df.groupby("o_custkey", as_index=False).size() \
+            .rename(columns={"size": "c_count"})
+        out["c_count"] = out["c_count"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (orders.map_batches(_cnt_partial, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("c_count", alias_name="c_count")))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    cust = apply_mapping(cust, counts, "c_custkey", "o_custkey",
+                         "c_count", "c_count")
+    cust = cust.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("c_count"), "c_count",
+            pc.fill_null(pc.cast(b.column("c_count"), pa.int64()), 0)),
+        batch_format="pyarrow")
+    return (cust.groupby("c_count")
+            .aggregate(Count(alias_name="custdist"))
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier — max over an aggregated view, ties
+    kept): per-suppkey revenue partials → one groupby → duck-rounded
+    (the view rounds BEFORE the max compare, mirrored in the SQL);
+    the global max is per-block max partials merged on the driver
+    (one float broadcast back, no extra shuffle), and the surviving
+    row(s) pick up s_name via the mapping join."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"],
+               filter=(pds.field("l_shipdate")
+                       >= np.datetime64("1996-01-01", "us"))
+               & (pds.field("l_shipdate") < np.datetime64("1996-04-01", "us")))
+
+    def _rev_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vol = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))
+        df = pd.DataFrame({"s_suppkey": np.asarray(b.column("l_suppkey")),
+                           "total_revenue": vol})
+        out = df.groupby("s_suppkey", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rev = (li.map_batches(_rev_partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("total_revenue", alias_name="total_revenue")))
+    rev = _round_cols(rev, {"total_revenue": 2})
+
+    def _max_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("total_revenue"))
+        m = float(v.max()) if len(v) else float("-inf")
+        return pa.table({"m": pa.array([m], pa.float64())})
+
+    parts = rev.map_batches(_max_partial, batch_format="pyarrow").take_all()
+    best = max((r["m"] for r in parts), default=float("-inf"))
+    top = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue"), best)),
+        batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    top = apply_mapping(top, supp, "s_suppkey", "s_suppkey",
+                        "s_name", "s_name")
+    return top.select_columns(["s_suppkey", "s_name", "total_revenue"]) \
+        .sort("s_suppkey")
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue — a correlated per-part
+    scalar subquery, decorrelated): per-partkey (sum, count) quantity
+    partials → one groupby → the 0.2·avg threshold maps BACK onto the
+    brand-pruned lines via the count-gated mapping join; the final
+    scalar is per-block sum partials merged on the driver."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.functions.exprs import duck_round
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"],
+                 filter=pds.field("p_brand") == "Brand#12")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = semi_join(li, part, "l_partkey", "p_partkey")
+
+    def _avg_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"l_partkey": np.asarray(b.column("l_partkey")),
+                           "s": np.asarray(b.column("l_quantity")),
+                           "n": np.ones(len(b), dtype=np.int64)})
+        out = df.groupby("l_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (li.map_batches(_avg_partial, batch_format="pyarrow")
+           .groupby("l_partkey")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    thr = agg.map_batches(
+        lambda b: pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "thr": pc.multiply(pc.divide(b.column("s"),
+                                         pc.cast(b.column("n"),
+                                                 pa.float64())),
+                               0.2)}),
+        batch_format="pyarrow")
+    li = apply_mapping(li, thr, "l_partkey", "l_partkey", "thr", "thr")
+
+    def _sum_partial(b: pa.Table) -> pa.Table:
+        mask = pc.less(b.column("l_quantity"), b.column("thr"))
+        kept = np.asarray(b.column("l_extendedprice"))[
+            np.asarray(pc.fill_null(mask, False))]
+        return pa.table({"s": pa.array([float(kept.sum())], pa.float64())})
+
+    parts = li.map_batches(_sum_partial, batch_format="pyarrow").take_all()
+    total = float(sum(r["s"] for r in parts))
+    return pa.table({"avg_yearly": pa.array([duck_round(total / 7.0, 2)],
+                                            pa.float64())})
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept waiting orders; adapted — no
+    receipt/commit dates in the synth lineitem, so "late" means
+    shipped after the order date): the EXISTS / NOT EXISTS pair
+    decorrelates into two vectorized groupbys — per-(order, supplier)
+    line/late-line counts, then per-order supplier counts where the
+    single late supplier's key rides a conditional Max — no per-group
+    Python anywhere.  Timestamps ride as int64 µs through the mapping
+    join."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                      "o_orderstatus"],
+                   filter=pds.field("o_orderstatus") == "F")
+    orders = orders.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                            "o_date": pc.cast(b.column("o_orderdate"),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_shipdate"])
+    li = semi_join(li, orders, "l_orderkey", "o_orderkey")
+    li = apply_mapping(li, orders, "l_orderkey", "o_orderkey",
+                       "o_date", "o_date")
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ship = np.asarray(pc.cast(b.column("l_shipdate"), pa.int64()))
+        late = (ship > np.asarray(b.column("o_date"))).astype(np.int64)
+        df = pd.DataFrame({"okey": np.asarray(b.column("l_orderkey")),
+                           "skey": np.asarray(b.column("l_suppkey")),
+                           "late_lines": late})
+        out = df.groupby(["okey", "skey"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = (li.map_batches(_pair_partial, batch_format="pyarrow")
+             .groupby(["okey", "skey"])
+             .aggregate(Sum("late_lines", alias_name="late_lines")))
+
+    def _flags(b: pa.Table) -> pa.Table:
+        late = pc.greater(b.column("late_lines"), 0)
+        late_i = pc.cast(late, pa.int64())
+        late_skey = pc.if_else(late, b.column("skey"),
+                               pa.scalar(-1, pa.int64()))
+        return pa.table({"okey": b.column("okey"),
+                         "is_late": late_i,
+                         "late_lines": b.column("late_lines"),
+                         "late_skey": late_skey})
+
+    per_order = (pairs.map_batches(_flags, batch_format="pyarrow")
+                 .groupby("okey")
+                 .aggregate(Count(alias_name="n_supp"),
+                            Sum("is_late", alias_name="n_late"),
+                            Sum("late_lines", alias_name="tot_late"),
+                            Max("late_skey", alias_name="late_skey")))
+    lone = per_order.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b.column("n_supp"), 2),
+                                   pc.equal(b.column("n_late"), 1))),
+        batch_format="pyarrow")
+    numwait = (lone.groupby("late_skey")
+               .aggregate(Sum("tot_late", alias_name="numwait")))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = apply_mapping(numwait, supp, "late_skey", "s_suppkey",
+                        "s_name", "s_name")
+    return out.select_columns(["s_name", "numwait"]) \
+        .sort(["numwait", "s_name"], descending=[True, False]).limit(20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -2503,6 +2787,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
         "user_first_last_event": q_user_first_last_event,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
@@ -2943,6 +3232,66 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'O')
             GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation,
+                         n2.n_name AS cust_nation,
+                         EXTRACT(year FROM l_shipdate) AS l_year,
+                         l_extendedprice * (1 - l_discount) AS volume
+                  FROM lineitem
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c_custkey,
+                         CAST(count(o_orderkey) AS BIGINT) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                       ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""",
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#12'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)""",
+        "tpch_q21": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o_orderdate)
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
         "user_first_last_event": """
             SELECT user_id,
                    max(CASE WHEN rn_a = 1 THEN event_type END)
