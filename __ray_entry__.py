@@ -2683,6 +2683,124 @@ def q_tpch_q21(sf_dir: str):
         .sort(["numwait", "s_name"], descending=[True, False]).limit(20)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Document chunking (size 500 chars, overlap 100): pure streaming
+    flat-map — no shuffle, no state; the kernel vectorizes per chunk
+    LEVEL (one ``utf8_slice_codeunits`` across every doc long enough),
+    never per row.  The SQL mirror cross-joins a bounded series and
+    filters ``length(text) > i*stride`` — identical chunk semantics."""
+    from snorkel_ray.stages.chunking import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(docs, size=500, overlap=100)
+    return out.sort(["doc_id", "chunk_id"])
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share; adapted nations/regions to the
+    synth names): customers restrict to one region through two tiny
+    broadcast mappings BEFORE lineitem is touched; one line×orders
+    hash join carries (custkey, orderdate); supplier nation rides a
+    mapping join; per-batch (year, nation-share, total) partials →
+    one small groupby → vectorized ratio."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    nat = apply_mapping(nation, region, "n_regionkey", "r_regionkey",
+                        "r_name", "r_name")
+    nat_in_region = nat.map_batches(
+        lambda b: b.filter(pc.equal(b.column("r_name"), "AFRICA")),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = semi_join(cust, nat_in_region, "c_nationkey", "n_nationkey")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = apply_mapping(supp, nation, "s_nationkey", "n_nationkey",
+                         "n_name", "supp_nation")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = semi_join(joined, cust, "o_custkey", "c_custkey")
+    joined = apply_mapping(joined, supp, "l_suppkey", "s_suppkey",
+                           "supp_nation", "supp_nation")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vol = (np.asarray(b.column("l_extendedprice"))
+               * (1.0 - np.asarray(b.column("l_discount"))))
+        nation_vol = np.where(
+            np.asarray(pc.equal(pc.fill_null(b.column("supp_nation"), ""),
+                                "NATION_1")), vol, 0.0)
+        yr = np.asarray(pc.year(b.column("o_orderdate")), dtype=np.int64)
+        df = pd.DataFrame({"o_year": yr, "num": nation_vol, "den": vol})
+        out = df.groupby("o_year", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (joined.map_batches(_partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("num", alias_name="num"),
+                      Sum("den", alias_name="den")))
+
+    def _ratio(b: pa.Table) -> pa.Table:
+        return pa.table({"o_year": b.column("o_year"),
+                         "mkt_share": pc.divide(b.column("num"),
+                                                b.column("den"))})
+
+    out = agg.map_batches(_ratio, batch_format="pyarrow")
+    return _round_cols(out, {"mkt_share": 4}).sort("o_year")
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 (important stock; adapted — no partsupp, so a part's
+    "value" is its lineitem revenue, and the cut is 1.5×avg — the
+    synth's uniform part assignment keeps every part's share far
+    below TPC-H's 0.001 fraction): per-partkey sum partials → one
+    groupby; the global (sum, count) is per-block partials merged on
+    the driver (one float broadcast back); HAVING compares
+    duck-ROUNDED values on both sides so accumulation-order ulp drift
+    can never flip membership at the threshold."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.functions.exprs import duck_round
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"l_partkey": np.asarray(b.column("l_partkey")),
+                           "value": np.asarray(b.column("l_extendedprice"))})
+        out = df.groupby("l_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_part = (li.map_batches(_partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("value", alias_name="value")))
+    per_part = _round_cols(per_part, {"value": 2})
+
+    totals = per_part.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [float(np.asarray(b.column("value")).sum())], pa.float64()),
+            "n": pa.array([len(b)], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in totals)
+    cut = duck_round(1.5 * sum(r["s"] for r in totals) / n, 2) if n else 0.0
+    out = per_part.map_batches(
+        lambda b: b.filter(pc.greater(b.column("value"), cut)),
+        batch_format="pyarrow")
+    return out.sort(["value", "l_partkey"], descending=[True, False])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -2788,6 +2906,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q11": q_tpch_q11,
+        "chunk_documents": q_chunk_documents,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -3249,6 +3370,40 @@ def oracle_sql() -> dict[str, str]:
                      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year""",
+        "tpch_q8": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_1'
+                                  THEN volume ELSE 0 END)
+                         / sum(volume), 4) AS mkt_share
+            FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                         l_extendedprice * (1 - l_discount) AS volume,
+                         n1.n_name AS supp_nation
+                  FROM lineitem
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  JOIN region ON n2.n_regionkey = r_regionkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  WHERE r_name = 'AFRICA')
+            GROUP BY o_year ORDER BY o_year""",
+        "tpch_q11": """
+            WITH v AS (SELECT l_partkey,
+                              round(sum(l_extendedprice), 2) AS value
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value FROM v
+            WHERE value > round((SELECT 1.5 * avg(value) FROM v), 2)
+            ORDER BY value DESC, l_partkey""",
+        "chunk_documents": """
+            WITH ser AS (SELECT unnest(range(0,
+                           (SELECT CAST((max(length(text)) - 1) // 400 + 1
+                                   AS BIGINT) FROM documents))) AS i)
+            SELECT doc_id, CAST(ser.i AS BIGINT) AS chunk_id,
+                   substring(text, CAST(ser.i * 400 + 1 AS INT), 500)
+                     AS chunk_text
+            FROM documents, ser
+            WHERE length(text) > ser.i * 400
+            ORDER BY doc_id, chunk_id""",
         "tpch_q13": """
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
             FROM (SELECT c_custkey,
