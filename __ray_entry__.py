@@ -2801,6 +2801,26 @@ def q_tpch_q11(sf_dir: str):
     return out.sort(["value", "l_partkey"], descending=[True, False])
 
 
+def q_first_event_per_hour(sf_dir: str):
+    """Windowed deduplication — keep the FIRST event per (user, hour):
+    a composition query, ``floor_temporal`` bucketing + the composite-
+    key skew-safe ``grouped_argmax`` (per-batch 1-row partials per
+    (user, hour), so a hot bucket ships one row per block)."""
+    from snorkel_ray.stages.reshape import grouped_argmax
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    ev = ev.map_batches(
+        lambda b: b.append_column(
+            "hour", pc.floor_temporal(b.column("ts"), unit="hour")),
+        batch_format="pyarrow")
+    out = grouped_argmax(ev, ["user_id", "hour"], ["ts", "event_id"],
+                         descending=[False, False])
+    return out.select_columns(["user_id", "hour", "event_id",
+                               "event_type", "value"]) \
+        .sort(["user_id", "hour"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -2914,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "user_first_last_event": q_user_first_last_event,
+        "first_event_per_hour": q_first_event_per_hour,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -3447,6 +3468,15 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "first_event_per_hour": """
+            SELECT user_id, hour, event_id, event_type, value
+            FROM (SELECT user_id, date_trunc('hour', ts) AS hour,
+                         event_id, event_type, value,
+                         row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, hour""",
         "user_first_last_event": """
             SELECT user_id,
                    max(CASE WHEN rn_a = 1 THEN event_type END)

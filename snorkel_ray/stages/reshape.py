@@ -398,9 +398,10 @@ def grouped_rank(ds, key: str, value: str, *, out: str = "rank",
     return rows.map_batches(_cast_clean, batch_format="pyarrow")
 
 
-def grouped_argmax(ds, key: str, order_cols: list[str], *,
+def grouped_argmax(ds, key: str | list[str], order_cols: list[str], *,
                    descending: list[bool] | None = None):
-    """The single best row per key (SQL ``row_number() OVER (PARTITION
+    """The single best row per key — single column or composite list
+    (SQL ``row_number() OVER (PARTITION
     BY key ORDER BY ...) = 1``): thin wrapper over the skew-safe
     ``grouped_topk(k=1)`` — per-batch partial winners first, so a hot
     key ships one row per block, never its full group.

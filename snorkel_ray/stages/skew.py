@@ -160,13 +160,14 @@ def split_by_row_size(ds, column: str, max_bytes: int = 1 << 20):
             ds.map_batches(_giant, batch_format="pyarrow"))
 
 
-def grouped_topk(ds, group_col: str, order_cols: list[str],
+def grouped_topk(ds, group_col: str | list[str], order_cols: list[str],
                  *, descending: list[bool] | None = None, k: int = 2):
-    """Per-group top-k rows, skew-safe: a per-BATCH partial top-k per
-    group first (vectorized pandas sort + head inside ``map_batches``),
-    so the shuffle moves at most k × groups × blocks rows, then a final
-    per-group head over the tiny partial table.  A hot group's full
-    row set never lands in one reducer — only its k-row partials do.
+    """Per-group top-k rows (single or composite group key), skew-safe:
+    a per-BATCH partial top-k per group first (vectorized pandas sort +
+    head inside ``map_batches``), so the shuffle moves at most
+    k × groups × blocks rows, then a final per-group head over the tiny
+    partial table.  A hot group's full row set never lands in one
+    reducer — only its k-row partials do.
 
     ``order_cols`` must totally order rows within a group (append a
     unique id to break ties) or the result is nondeterministic."""
