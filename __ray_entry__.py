@@ -2821,6 +2821,158 @@ def q_first_event_per_hour(sf_dir: str):
         .sort(["user_id", "hour"])
 
 
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 (product-type profit by nation and year; adapted — no
+    partsupp supplycost, so cost is 0.6·p_retailprice·quantity): the
+    part-name predicate rides the scan and prunes lineitem via the
+    semi-join; retailprice, supplier nation, and order date all attach
+    via count-gated mapping joins (dates as int64 µs); (nation, year)
+    profit partials combine per batch before one small groupby."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"],
+                 filter=pc.match_substring(pds.field("p_name"), "red"))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    li = semi_join(li, part, "l_partkey", "p_partkey")
+    li = apply_mapping(li, part, "l_partkey", "p_partkey",
+                       "p_retailprice", "p_retailprice")
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = apply_mapping(supp, nation, "s_nationkey", "n_nationkey",
+                         "n_name", "nation")
+    li = apply_mapping(li, supp, "l_suppkey", "s_suppkey",
+                       "nation", "nation")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                            "o_date": pc.cast(b.column("o_orderdate"),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    li = apply_mapping(li, orders, "l_orderkey", "o_orderkey",
+                       "o_date", "o_date")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        amount = (np.asarray(b.column("l_extendedprice"))
+                  * (1.0 - np.asarray(b.column("l_discount")))
+                  - np.asarray(b.column("p_retailprice")) * 0.6
+                  * np.asarray(b.column("l_quantity")))
+        yr = np.asarray(pc.year(pc.cast(b.column("o_date"),
+                                        pa.timestamp("us"))),
+                        dtype=np.int64)
+        df = pd.DataFrame({"nation": np.asarray(b.column("nation")),
+                           "o_year": yr, "sum_profit": amount})
+        out = df.groupby(["nation", "o_year"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (li.map_batches(_partial, batch_format="pyarrow")
+           .groupby(["nation", "o_year"])
+           .aggregate(Sum("sum_profit", alias_name="sum_profit")))
+    out = _round_cols(out, {"sum_profit": 2})
+    return out.sort(["nation", "o_year"], descending=[False, True])
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 (excess-volume suppliers; adapted — no partsupp, so
+    "excess" is >80 total quantity of any one red part): the nested-IN
+    chain decorrelates into per-(suppkey, partkey) quantity partials →
+    one pair-keyed groupby → HAVING filter → distinct suppkeys (a
+    second tiny groupby) → semi-join back onto supplier."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Sum
+
+    from snorkel_ray.stages.joins import semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"],
+                 filter=pc.match_substring(pds.field("p_name"), "red"))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey",
+                                    "l_quantity"])
+    li = semi_join(li, part, "l_partkey", "p_partkey")
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"l_suppkey": np.asarray(b.column("l_suppkey")),
+                           "l_partkey": np.asarray(b.column("l_partkey")),
+                           "qty": np.asarray(b.column("l_quantity"))})
+        out = df.groupby(["l_suppkey", "l_partkey"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = (li.map_batches(_pair_partial, batch_format="pyarrow")
+             .groupby(["l_suppkey", "l_partkey"])
+             .aggregate(Sum("qty", alias_name="qty")))
+    excess = pairs.map_batches(
+        lambda b: b.filter(pc.greater(b.column("qty"), 80.0)),
+        batch_format="pyarrow")
+    supp_keys = (excess.groupby("l_suppkey")
+                 .aggregate(Count(alias_name="_n"))
+                 .drop_columns(["_n"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = semi_join(supp, supp_keys, "s_suppkey", "l_suppkey")
+    return out.select_columns(["s_suppkey", "s_name"]).sort("s_suppkey")
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 (minimum-cost supplier per part, ties kept; adapted —
+    no partsupp, so the part↔supplier relation is lineitem's distinct
+    pairs and "cost" is s_acctbal): distinct (partkey, suppkey) pairs
+    via a pair-keyed groupby (per-batch dedup combiner first), acctbal
+    attaches by mapping join, the per-part minimum is a vectorized Min
+    aggregate mapped BACK onto the pairs, and the equality filter
+    compares the exact stored float both engines read from parquet —
+    no arithmetic, so no ulp hazard."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Min
+
+    from snorkel_ray.stages.joins import apply_mapping, semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"],
+                 filter=pds.field("p_size") == 10)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li = semi_join(li, part, "l_partkey", "p_partkey")
+
+    def _dedup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (li.map_batches(_dedup, batch_format="pyarrow")
+             .groupby(["l_partkey", "l_suppkey"])
+             .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    pairs = apply_mapping(pairs, supp, "l_suppkey", "s_suppkey",
+                          "s_acctbal", "s_acctbal")
+    mins = (pairs.groupby("l_partkey")
+            .aggregate(Min("s_acctbal", alias_name="min_bal")))
+    pairs = apply_mapping(pairs, mins, "l_partkey", "l_partkey",
+                          "min_bal", "min_bal")
+    best = pairs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("s_acctbal"),
+                                    b.column("min_bal"))),
+        batch_format="pyarrow")
+    best = apply_mapping(best, supp, "l_suppkey", "s_suppkey",
+                         "s_name", "s_name")
+    best = best.map_batches(
+        lambda b: pa.table({"p_partkey": b.column("l_partkey"),
+                            "s_suppkey": b.column("l_suppkey"),
+                            "s_name": b.column("s_name"),
+                            "s_acctbal": b.column("s_acctbal")}),
+        batch_format="pyarrow")
+    return best.sort(["p_partkey", "s_suppkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -2925,9 +3077,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         "chunk_documents": q_chunk_documents,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
@@ -3374,6 +3529,18 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'O')
             GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "tpch_q2": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem)
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal
+            FROM part JOIN ps ON p_partkey = ps.l_partkey
+                 JOIN supplier ON s_suppkey = ps.l_suppkey
+            WHERE p_size = 10
+              AND s_acctbal = (SELECT min(s2.s_acctbal)
+                               FROM ps ps2 JOIN supplier s2
+                                    ON s2.s_suppkey = ps2.l_suppkey
+                               WHERE ps2.l_partkey = p_partkey)
+            ORDER BY p_partkey, s_suppkey""",
         "tpch_q7": """
             SELECT supp_nation, cust_nation, l_year,
                    round(sum(volume), 2) AS revenue
@@ -3408,6 +3575,28 @@ def oracle_sql() -> dict[str, str]:
                   JOIN nation n1 ON s_nationkey = n1.n_nationkey
                   WHERE r_name = 'AFRICA')
             GROUP BY o_year ORDER BY o_year""",
+        "tpch_q9": """
+            SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+            FROM (SELECT n_name AS nation,
+                         EXTRACT(year FROM o_orderdate) AS o_year,
+                         l_extendedprice * (1 - l_discount)
+                           - p_retailprice * 0.6 * l_quantity AS amount
+                  FROM lineitem
+                  JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  WHERE p_name LIKE '%red%')
+            GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+        "tpch_q20": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey
+                                FROM lineitem
+                                JOIN part ON p_partkey = l_partkey
+                                WHERE p_name LIKE '%red%'
+                                GROUP BY l_suppkey, l_partkey
+                                HAVING sum(l_quantity) > 80)
+            ORDER BY s_suppkey""",
         "tpch_q11": """
             WITH v AS (SELECT l_partkey,
                               round(sum(l_extendedprice), 2) AS value
