@@ -98,6 +98,24 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
 
 # --- aggregations -----------------------------------------------------------
 
+def _grouped_sum_partial(keys: list[str], cols):
+    """``map_batches`` combiner factory shared by the TPC-H queries:
+    per-batch ``groupby(keys).sum()`` over the columns produced by
+    ``cols(batch) -> dict[str, np.ndarray]`` (keys included).  This is
+    the free pre-shuffle combine step — each block ships one row per
+    distinct key, so the following ``groupby().aggregate(Sum(...))``
+    shuffles partials, never raw rows (review r5: one helper instead
+    of nine copy-pasted closures)."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out = pd.DataFrame(cols(b)).groupby(keys, as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _f
+
+
 def _round_cols(ds, spec: dict[str, int]):
     """Round float columns to fixed decimals — applied identically on
     the Ray side and in oracle_sql() so value hashes are bitwise-equal
@@ -2082,20 +2100,16 @@ def q_tpch_q12(sf_dir: str):
     joined = li.join(orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def _flags(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def _late_cols(b: pa.Table) -> dict:
         b = b.filter(pc.greater(b.column("l_shipdate"),
                                 b.column("o_orderdate")))
         high = pc.is_in(b.column("o_orderpriority"),
                         value_set=pa.array(["1-URGENT", "2-HIGH"]))
         hi = np.asarray(pc.cast(high, pa.int64()))
-        df = pd.DataFrame({"l_returnflag":
-                           b.column("l_returnflag").to_pylist(),
-                           "high_line_count": hi,
-                           "low_line_count": 1 - hi})
-        out = df.groupby("l_returnflag", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return {"l_returnflag": np.asarray(b.column("l_returnflag")),
+                "high_line_count": hi, "low_line_count": 1 - hi}
+
+    _flags = _grouped_sum_partial(["l_returnflag"], _late_cols)
 
     return (joined.map_batches(_flags, batch_format="pyarrow")
             .groupby("l_returnflag")
@@ -2153,13 +2167,10 @@ def q_tpch_q18(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
-    def _qty_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
-                           "sum_qty": np.asarray(b.column("l_quantity"))})
-        out = df.groupby("l_orderkey", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _qty_partial = _grouped_sum_partial(
+        ["l_orderkey"],
+        lambda b: {"l_orderkey": np.asarray(b.column("l_orderkey")),
+                   "sum_qty": np.asarray(b.column("l_quantity"))})
 
     qty = (li.map_batches(_qty_partial, batch_format="pyarrow")
            .groupby("l_orderkey")
@@ -2331,7 +2342,10 @@ def q_tpch_q22(sf_dir: str):
     merged on the driver and embedded in a vectorized filter (broadcast
     of one float, zero shuffle); NOT EXISTS is the count-gated anti
     semi-join over the scan-pruned open orders; the final groupby runs
-    over the filtered remnant only."""
+    over the filtered remnant only.  The customer table is re-scanned
+    for the second consumption by design — a whole-table pin is the
+    wrong trade at 100 TB and the second pass is a 3-column pruned
+    read (review r5)."""
     import pyarrow.dataset as pds
 
     from ray.data.aggregate import Count, Sum
@@ -2442,20 +2456,18 @@ def q_tpch_q7(sf_dir: str):
     li = apply_mapping(li, cust, "o_custkey", "c_custkey",
                        "cust_nation", "cust_nation")
 
-    def _partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def _pair_vol(b: pa.Table) -> dict:
         sn = np.asarray(b.column("supp_nation"))
         cn = np.asarray(b.column("cust_nation"))
         mask = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
         vol = (np.asarray(b.column("l_extendedprice"))
                * (1.0 - np.asarray(b.column("l_discount"))))[mask]
         yr = np.asarray(pc.year(b.column("l_shipdate")))[mask]
-        df = pd.DataFrame({"supp_nation": sn[mask], "cust_nation": cn[mask],
-                           "l_year": yr.astype(np.int64), "revenue": vol})
-        out = df.groupby(["supp_nation", "cust_nation", "l_year"],
-                         as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return {"supp_nation": sn[mask], "cust_nation": cn[mask],
+                "l_year": yr.astype(np.int64), "revenue": vol}
+
+    _partial = _grouped_sum_partial(
+        ["supp_nation", "cust_nation", "l_year"], _pair_vol)
 
     out = (li.map_batches(_partial, batch_format="pyarrow")
            .groupby(["supp_nation", "cust_nation", "l_year"])
@@ -2480,14 +2492,10 @@ def q_tpch_q13(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
                    filter=pds.field("o_orderpriority") != "1-URGENT")
 
-    def _cnt_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({"o_custkey": np.asarray(b.column("o_custkey"))})
-        out = df.groupby("o_custkey", as_index=False).size() \
-            .rename(columns={"size": "c_count"})
-        out["c_count"] = out["c_count"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _cnt_partial = _grouped_sum_partial(
+        ["o_custkey"],
+        lambda b: {"o_custkey": np.asarray(b.column("o_custkey")),
+                   "c_count": np.ones(len(b), dtype=np.int64)})
 
     counts = (orders.map_batches(_cnt_partial, batch_format="pyarrow")
               .groupby("o_custkey")
@@ -2525,20 +2533,19 @@ def q_tpch_q15(sf_dir: str):
                        >= np.datetime64("1996-01-01", "us"))
                & (pds.field("l_shipdate") < np.datetime64("1996-04-01", "us")))
 
-    def _rev_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        vol = (np.asarray(b.column("l_extendedprice"))
-               * (1.0 - np.asarray(b.column("l_discount"))))
-        df = pd.DataFrame({"s_suppkey": np.asarray(b.column("l_suppkey")),
-                           "total_revenue": vol})
-        out = df.groupby("s_suppkey", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _rev_partial = _grouped_sum_partial(
+        ["s_suppkey"],
+        lambda b: {"s_suppkey": np.asarray(b.column("l_suppkey")),
+                   "total_revenue":
+                       np.asarray(b.column("l_extendedprice"))
+                       * (1.0 - np.asarray(b.column("l_discount")))})
 
     rev = (li.map_batches(_rev_partial, batch_format="pyarrow")
            .groupby("s_suppkey")
            .aggregate(Sum("total_revenue", alias_name="total_revenue")))
-    rev = _round_cols(rev, {"total_revenue": 2})
+    # consumed twice (global max, then the equality filter): pin the
+    # supplier-sized aggregate so lineitem is scanned once (review r5)
+    rev = _round_cols(rev, {"total_revenue": 2}).materialize()
 
     def _max_partial(b: pa.Table) -> pa.Table:
         v = np.asarray(b.column("total_revenue"))
@@ -2562,7 +2569,12 @@ def q_tpch_q17(sf_dir: str):
     scalar subquery, decorrelated): per-partkey (sum, count) quantity
     partials → one groupby → the 0.2·avg threshold maps BACK onto the
     brand-pruned lines via the count-gated mapping join; the final
-    scalar is per-block sum partials merged on the driver."""
+    scalar is per-block sum partials merged on the driver.  The
+    brand-pruned lineitem subset is deliberately re-scanned for the
+    second consumption rather than materialized: at 100 TB even the
+    1/N-brand slice is too large to pin, and the re-read is a pruned
+    streaming scan (review r5: re-scan is the scale-correct choice;
+    only the part-count-sized aggregate would be pin-safe)."""
     import pyarrow.dataset as pds
 
     from ray.data.aggregate import Sum
@@ -2576,14 +2588,11 @@ def q_tpch_q17(sf_dir: str):
                ["l_partkey", "l_quantity", "l_extendedprice"])
     li = semi_join(li, part, "l_partkey", "p_partkey")
 
-    def _avg_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({"l_partkey": np.asarray(b.column("l_partkey")),
-                           "s": np.asarray(b.column("l_quantity")),
-                           "n": np.ones(len(b), dtype=np.int64)})
-        out = df.groupby("l_partkey", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _avg_partial = _grouped_sum_partial(
+        ["l_partkey"],
+        lambda b: {"l_partkey": np.asarray(b.column("l_partkey")),
+                   "s": np.asarray(b.column("l_quantity")),
+                   "n": np.ones(len(b), dtype=np.int64)})
 
     agg = (li.map_batches(_avg_partial, batch_format="pyarrow")
            .groupby("l_partkey")
@@ -2639,16 +2648,14 @@ def q_tpch_q21(sf_dir: str):
     li = apply_mapping(li, orders, "l_orderkey", "o_orderkey",
                        "o_date", "o_date")
 
-    def _pair_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def _late_lines(b: pa.Table) -> dict:
         ship = np.asarray(pc.cast(b.column("l_shipdate"), pa.int64()))
         late = (ship > np.asarray(b.column("o_date"))).astype(np.int64)
-        df = pd.DataFrame({"okey": np.asarray(b.column("l_orderkey")),
-                           "skey": np.asarray(b.column("l_suppkey")),
-                           "late_lines": late})
-        out = df.groupby(["okey", "skey"], as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return {"okey": np.asarray(b.column("l_orderkey")),
+                "skey": np.asarray(b.column("l_suppkey")),
+                "late_lines": late}
+
+    _pair_partial = _grouped_sum_partial(["okey", "skey"], _late_lines)
 
     pairs = (li.map_batches(_pair_partial, batch_format="pyarrow")
              .groupby(["okey", "skey"])
@@ -2733,18 +2740,16 @@ def q_tpch_q8(sf_dir: str):
     joined = apply_mapping(joined, supp, "l_suppkey", "s_suppkey",
                            "supp_nation", "supp_nation")
 
-    def _partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def _share_cols(b: pa.Table) -> dict:
         vol = (np.asarray(b.column("l_extendedprice"))
                * (1.0 - np.asarray(b.column("l_discount"))))
         nation_vol = np.where(
             np.asarray(pc.equal(pc.fill_null(b.column("supp_nation"), ""),
                                 "NATION_1")), vol, 0.0)
         yr = np.asarray(pc.year(b.column("o_orderdate")), dtype=np.int64)
-        df = pd.DataFrame({"o_year": yr, "num": nation_vol, "den": vol})
-        out = df.groupby("o_year", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return {"o_year": yr, "num": nation_vol, "den": vol}
+
+    _partial = _grouped_sum_partial(["o_year"], _share_cols)
 
     agg = (joined.map_batches(_partial, batch_format="pyarrow")
            .groupby("o_year")
@@ -2786,7 +2791,9 @@ def q_tpch_q11(sf_dir: str):
     per_part = (li.map_batches(_partial, batch_format="pyarrow")
                 .groupby("l_partkey")
                 .aggregate(Sum("value", alias_name="value")))
-    per_part = _round_cols(per_part, {"value": 2})
+    # consumed twice (totals, then the HAVING filter): pin the
+    # part-count-sized aggregate so lineitem is scanned once (review r5)
+    per_part = _round_cols(per_part, {"value": 2}).materialize()
 
     totals = per_part.map_batches(
         lambda b: pa.table({"s": pa.array(
@@ -2859,9 +2866,7 @@ def q_tpch_q9(sf_dir: str):
     li = apply_mapping(li, orders, "l_orderkey", "o_orderkey",
                        "o_date", "o_date")
 
-    def _partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def _profit_cols(b: pa.Table) -> dict:
         amount = (np.asarray(b.column("l_extendedprice"))
                   * (1.0 - np.asarray(b.column("l_discount")))
                   - np.asarray(b.column("p_retailprice")) * 0.6
@@ -2869,10 +2874,10 @@ def q_tpch_q9(sf_dir: str):
         yr = np.asarray(pc.year(pc.cast(b.column("o_date"),
                                         pa.timestamp("us"))),
                         dtype=np.int64)
-        df = pd.DataFrame({"nation": np.asarray(b.column("nation")),
-                           "o_year": yr, "sum_profit": amount})
-        out = df.groupby(["nation", "o_year"], as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return {"nation": np.asarray(b.column("nation")),
+                "o_year": yr, "sum_profit": amount}
+
+    _partial = _grouped_sum_partial(["nation", "o_year"], _profit_cols)
 
     out = (li.map_batches(_partial, batch_format="pyarrow")
            .groupby(["nation", "o_year"])
@@ -2899,14 +2904,11 @@ def q_tpch_q20(sf_dir: str):
                                     "l_quantity"])
     li = semi_join(li, part, "l_partkey", "p_partkey")
 
-    def _pair_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({"l_suppkey": np.asarray(b.column("l_suppkey")),
-                           "l_partkey": np.asarray(b.column("l_partkey")),
-                           "qty": np.asarray(b.column("l_quantity"))})
-        out = df.groupby(["l_suppkey", "l_partkey"], as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _pair_partial = _grouped_sum_partial(
+        ["l_suppkey", "l_partkey"],
+        lambda b: {"l_suppkey": np.asarray(b.column("l_suppkey")),
+                   "l_partkey": np.asarray(b.column("l_partkey")),
+                   "qty": np.asarray(b.column("l_quantity"))})
 
     pairs = (li.map_batches(_pair_partial, batch_format="pyarrow")
              .groupby(["l_suppkey", "l_partkey"])
@@ -2984,7 +2986,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     and the new tfidf/ngram-jaccard families into the head, demoting
     three entries whose machinery stays driver-covered by same-family
     heads (distinct→union/count-distinct, tumbling→the four other
-    window heads, zscore→corr's identical two-pass plan)."""
+    window heads, zscore→corr's identical two-pass plan).  Late round
+    5 swapped four more so every NEW family is driver-verified:
+    chunking, set ops, GROUPING SETS, and the Q21 multi-EXISTS
+    decorrelation enter; cumulative_sum (window family keeps 3 heads),
+    bigram_top20 (corpus-stats keeps frequent_line_removal),
+    customers_without_orders (anti-join machinery now driver-covered
+    by the EXCEPT head, which rides the same anti semi-join), and
+    event_value_lag (windows again) move to the tail."""
     return {
         # --- head: flagship + one query per operator family (<=50) ---
         "kg_pipeline": q_kg_pipeline_sf,
@@ -2996,7 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorical_label_argmax": q_categorical_label_argmax,
         "embedding_topk": q_embedding_topk,
         "sliding_window_mean": q_sliding_window_mean,
-        "cumulative_sum": q_cumulative_sum,
+        "chunk_documents": q_chunk_documents,
         "heavy_hitter_parts": q_heavy_hitter_parts,
         "doc_count_by_lang": q_doc_count_by_lang,
         "lineitem_agg": q_lineitem_agg,
@@ -3010,7 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "gopher_quality": q_gopher_quality,
         "frequent_line_removal": q_frequent_line_removal,
-        "bigram_top20": q_bigram_top20,
+        "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "tpch_q3": q_tpch_q3,
         "pii_redaction": q_pii_redaction,
         "lineitem_rollup": q_lineitem_rollup,
@@ -3029,11 +3038,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q_tpch_q5,
         "sample_orders_fraction": q_sample_orders_fraction,
         "split_assignment_counts": q_split_assignment_counts,
-        "customers_without_orders": q_customers_without_orders,
+        "open_not_failed_customers": q_open_not_failed_customers,
         "events_json_extract": q_events_json_extract,
         "user_session_counts": q_user_session_counts,
         "tfidf_scores": q_tfidf_scores,
-        "event_value_lag": q_event_value_lag,
+        "tpch_q21": q_tpch_q21,
         "asof_last_click": q_asof_last_click,
         "order_price_quantiles": q_order_price_quantiles,
         "word_count_salted": q_word_count_salted,
@@ -3071,9 +3080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
-        "open_not_failed_customers": q_open_not_failed_customers,
+        "customers_without_orders": q_customers_without_orders,
         "custkey_status_both_years": q_custkey_status_both_years,
-        "lineitem_grouping_sets": q_lineitem_grouping_sets,
+        "bigram_top20": q_bigram_top20,
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
@@ -3083,11 +3092,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
-        "chunk_documents": q_chunk_documents,
+        "cumulative_sum": q_cumulative_sum,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
+        "event_value_lag": q_event_value_lag,
         "user_first_last_event": q_user_first_last_event,
         "first_event_per_hour": q_first_event_per_hour,
         "approx_price_quantiles": q_approx_price_quantiles,

@@ -60,11 +60,21 @@ def chunk_documents(ds, *, size: int, overlap: int = 0,
         ])
         if not len(b) or not lens.max():
             return schema.empty_table()
+        # narrow progressively: docs with a (k+1)-th chunk are a subset
+        # of docs with a k-th chunk, so each level filters the PREVIOUS
+        # survivors — total work is output-sized, and one giant doc in
+        # a batch of shorts costs O(its own chunks), not
+        # O(chunks x batch rows) (review r5)
         pieces = []
         k = 0
-        mask = lens > 0
+        sub = b.select([id_col, text_col])
+        sub_lens = lens
+        mask = sub_lens > 0
         while mask.any():
-            sub = b.filter(pa.array(mask))
+            if not mask.all():
+                keep = pa.array(mask)
+                sub = sub.filter(keep)
+                sub_lens = sub_lens[mask]
             start = k * stride
             chunk = pc.utf8_slice_codeunits(
                 pc.cast(sub.column(text_col), pa.string()),
@@ -74,9 +84,8 @@ def chunk_documents(ds, *, size: int, overlap: int = 0,
                 out_id: pa.array(np.full(len(sub), k, dtype=np.int64)),
                 out_text: chunk,
             }, schema=schema))
-            # next level: docs whose k+1-th chunk starts inside the text
             k += 1
-            mask = lens > k * stride
+            mask = sub_lens > k * stride
         return pa.concat_tables(pieces)
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -14,10 +14,13 @@ small right sides broadcast (``ray.put`` once, vectorized ``pc.is_in``
 per batch — zero extra shuffle), large ones hash-join.  Nothing
 materializes the full input on the driver.
 
-Multi-column keys are composed into one binary key per row
-(length-prefixed concat, collision-free) on BOTH sides, so the join
-machinery stays single-column; the original columns are carried
-through and the composed key dropped at the end.
+ALL keys — single or multi column — are composed into one string key
+per row (validity-tagged, length-prefixed concat, collision-free) on
+BOTH sides, so the join machinery stays single-column AND SQL set-op
+NULL semantics hold: NULL matches NULL in INTERSECT/EXCEPT (unlike a
+plain equality semi-join, whose ``pc.is_in`` never matches null).  The
+original columns are carried through and the composed key dropped at
+the end.
 """
 
 from __future__ import annotations
@@ -31,17 +34,22 @@ _SK = "__setop_key"
 
 
 def _compose_key(cols: list[str]):
-    """Per-batch composed key: cast each column to string and join with
-    a length prefix per field (``len:value|``) — unambiguous even when
-    values contain the separator."""
+    """Per-batch composed key: each field becomes ``n`` when NULL else
+    ``v<len>:<value>`` (validity tag OUT OF BAND, so no string value —
+    not even one spelling a null sentinel — can collide with NULL),
+    fields joined with ``|``; the length prefix makes values containing
+    the separator unambiguous."""
 
     def _f(b: pa.Table) -> pa.Table:
         parts = []
         for c in cols:
-            s = pc.cast(b.column(c), pa.string())
-            s = pc.fill_null(s, "\x00null")
+            col = b.column(c)
+            s = pc.fill_null(pc.cast(col, pa.string()), "")
             ln = pc.cast(pc.utf8_length(s), pa.string())
-            parts.append(pc.binary_join_element_wise(ln, s, ":"))
+            tagged = pc.binary_join_element_wise(
+                pa.array(["v"] * len(b)), ln, s, ":")
+            parts.append(pc.if_else(pc.is_null(col),
+                                    pa.scalar("n"), tagged))
         key = parts[0] if len(parts) == 1 else \
             pc.binary_join_element_wise(*parts, "|")
         return b.append_column(_SK, key)
@@ -66,11 +74,10 @@ def _setop(left, right, cols, right_cols, *, anti: bool):
     if len(right_cols) != len(cols):
         raise ValueError("left/right column lists must have equal length")
 
+    # single-column keys ride the SAME composed-key path: a raw
+    # equality semi-join (pc.is_in) never matches NULL, but SQL
+    # INTERSECT/EXCEPT treat NULL as equal to NULL (review r5)
     out = _distinct(left.select_columns(cols), cols)
-    if len(cols) == 1:
-        return semi_join(out, right.select_columns(right_cols),
-                         cols[0], right_cols[0], anti=anti)
-
     out = out.map_batches(_compose_key(cols), batch_format="pyarrow")
     rkeys = right.select_columns(right_cols) \
         .map_batches(_compose_key(right_cols), batch_format="pyarrow") \

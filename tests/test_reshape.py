@@ -124,6 +124,22 @@ def test_grouped_count_distinct_composite_key():
     assert out.n.tolist() == ref.n.tolist()
 
 
+def test_grouped_count_distinct_ignores_nulls():
+    # SQL count(DISTINCT v) ignores NULL values — review r5: the pair
+    # groupby used to count the null group as a distinct value
+    from snorkel_ray.stages.reshape import grouped_count_distinct
+
+    t = pa.table({"k": ["a", "a", "a", "b"],
+                  "v": pa.array([1, None, 2, None], pa.int64())})
+    out = (grouped_count_distinct(ray.data.from_arrow(t), "k", "v",
+                                  out="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # key 'b' (all-null values) is absent — documented divergence,
+    # same as grouped_quantiles
+    assert out.k.tolist() == ["a"]
+    assert out.n.tolist() == [2]
+
+
 def test_grouped_argmax_ties_deterministic():
     from snorkel_ray.stages.reshape import grouped_argmax
 

@@ -106,3 +106,29 @@ def test_grouping_sets_validation():
     with pytest.raises(ValueError):
         grouping_sets_aggregate(_gs_input(), ["a", "b"],
                                 [["a"], ["a"]], {"n": ("count", "")})
+
+
+def test_setops_null_matches_null_like_sql():
+    # SQL INTERSECT/EXCEPT treat NULL as equal to NULL (unlike a plain
+    # equality join) — review r5: the single-column fast path used to
+    # ride pc.is_in, which never matches null
+    left = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, None, 2, 2], pa.int64())}))
+    right = ray.data.from_arrow(
+        pa.table({"a": pa.array([None, 2], pa.int64())}))
+    exc = except_distinct(left, right, ["a"]).to_pandas()["a"].tolist()
+    assert exc == [1]
+    inter = intersect_distinct(left, right, ["a"]).to_pandas()
+    got = sorted(inter["a"].tolist(), key=lambda v: (v != v, v))
+    assert got[0] == 2 and got[1] != got[1]  # {2, NULL}
+
+
+def test_setops_null_never_collides_with_sentinel_strings():
+    # a genuine string value can never compose to the same key as NULL
+    # (validity tag is out of band) — review r5
+    left = ray.data.from_arrow(pa.table({
+        "a": pa.array([None, "v1:x"], pa.string()), "b": ["x", "x"]}))
+    right = ray.data.from_arrow(pa.table({
+        "a": pa.array(["\x00null", "n"], pa.string()), "b": ["x", "x"]}))
+    assert intersect_distinct(left, right, ["a", "b"]).count() == 0
+    assert except_distinct(left, right, ["a", "b"]).count() == 2
