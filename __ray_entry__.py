@@ -2975,6 +2975,49 @@ def q_tpch_q2(sf_dir: str):
     return best.sort(["p_partkey", "s_suppkey"])
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean over the embedding list column (SQL unnest +
+    generate_subscripts): each batch reshapes its list buffer into one
+    (rows × dim) matrix and emits a dim-row (sum, count) partial —
+    a single ``mat.sum(axis=0)`` per batch, merged on the driver, zero
+    shuffle and zero per-row Python for a column that would explode
+    rows×dim ways if actually unnested."""
+    from snorkel_ray.functions.exprs import duck_round
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding").combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        offs = np.asarray(col.offsets)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding lists")
+        mat = flat.reshape(-1, d)
+        return pa.table({"dim": np.arange(1, d + 1, dtype=np.int64),
+                         "s": mat.sum(axis=0),
+                         "n": np.full(d, mat.shape[0], dtype=np.int64)})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list] = {}
+    for r in parts:
+        e = acc.setdefault(r["dim"], [0.0, 0])
+        e[0] += r["s"]
+        e[1] += r["n"]
+    dims = sorted(acc)
+    return pa.table({
+        "dim": pa.array(dims, pa.int64()),
+        "mean_v": pa.array([duck_round(acc[d][0] / acc[d][1], 6)
+                            for d in dims], pa.float64()),
+        "n": pa.array([acc[d][1] for d in dims], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -3099,6 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_lag": q_event_value_lag,
         "user_first_last_event": q_user_first_last_event,
         "first_event_per_hour": q_first_event_per_hour,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -3666,6 +3710,13 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "embedding_dim_stats": """
+            SELECT dim, round(avg(v), 6) AS mean_v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY dim ORDER BY dim""",
         "first_event_per_hour": """
             SELECT user_id, hour, event_id, event_type, value
             FROM (SELECT user_id, date_trunc('hour', ts) AS hour,
