@@ -3018,6 +3018,37 @@ def q_embedding_dim_stats(sf_dir: str):
     })
 
 
+def q_order_share_of_customer(sf_dir: str):
+    """Window aggregate mapped back to rows — each order's share of
+    its customer's total spend (SQL ``x / sum(x) OVER (PARTITION BY
+    key)``): per-custkey sum partials → one small groupby → the totals
+    map BACK via the count-gated mapping join → vectorized ratio.  A
+    hot customer ships one partial row per block, never its orders."""
+    from ray.data.aggregate import Sum
+
+    from snorkel_ray.stages.joins import apply_mapping
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    _tot_partial = _grouped_sum_partial(
+        ["o_custkey"],
+        lambda b: {"o_custkey": np.asarray(b.column("o_custkey")),
+                   "cust_total": np.asarray(b.column("o_totalprice"))})
+    totals = (orders.map_batches(_tot_partial, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("cust_total", alias_name="cust_total")))
+    out = apply_mapping(orders, totals, "o_custkey", "o_custkey",
+                        "cust_total", "cust_total")
+    out = out.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "share": pc.divide(b.column("o_totalprice"),
+                               b.column("cust_total"))}),
+        batch_format="pyarrow")
+    return _round_cols(out, {"share": 6}).sort("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -3143,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": q_user_first_last_event,
         "first_event_per_hour": q_first_event_per_hour,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "order_share_of_customer": q_order_share_of_customer,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -3710,6 +3742,12 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "order_share_of_customer": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice
+                         / sum(o_totalprice) OVER (PARTITION BY o_custkey),
+                         6) AS share
+            FROM orders ORDER BY o_orderkey""",
         "embedding_dim_stats": """
             SELECT dim, round(avg(v), 6) AS mean_v,
                    CAST(count(*) AS BIGINT) AS n

@@ -36,3 +36,28 @@ def test_consume_micro_duck_types():
     # a DataFrame / Table (no .to_pandas() needed vs has one) both pass
     bench.consume_micro(pd.DataFrame({"a": [1]}))
     bench.consume_micro(pa.table({"a": [1]}))
+
+
+def test_driver_gate_head_covers_every_family():
+    """The driver's correctness gate verifies only the FIRST 50
+    queries() entries; pin the curated head so a refactor can't
+    silently push a family representative past the cut (review r5)."""
+    import __ray_entry__ as e
+
+    qs = list(e.queries())
+    assert len(qs) == len(set(qs)), "duplicate query keys"
+    head = set(qs[:50])
+    must_head = {
+        "kg_pipeline", "minhash_dedup_clusters", "curation_funnel",
+        "token_counts", "embedding_topk", "lineitem_agg",
+        "customer_order_join", "exact_dedup_documents",
+        "decontaminate_docs", "gopher_quality", "pii_redaction",
+        # round-5 families promoted into the gate
+        "chunk_documents", "open_not_failed_customers",
+        "lineitem_grouping_sets", "tpch_q21",
+    }
+    missing = must_head - head
+    assert not missing, f"gate head lost family heads: {sorted(missing)}"
+    # every oracle key must have a queries() entry and vice-versa names
+    orphan = set(e.oracle_sql()) - set(qs)
+    assert not orphan, f"oracle_sql keys without queries(): {sorted(orphan)}"
