@@ -518,15 +518,11 @@ def q_tpch_q3(sf_dir: str):
                    < np.datetime64("1998-01-01", "us"))
     orders = semi_join(orders, cust, "o_custkey", "c_custkey")
 
-    def _rev_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        rev = (np.asarray(b.column("l_extendedprice"))
-               * (1.0 - np.asarray(b.column("l_discount"))))
-        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
-                           "revenue": rev})
-        out = df.groupby("l_orderkey", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _rev_partial = _grouped_sum_partial(
+        ["l_orderkey"],
+        lambda b: {"l_orderkey": np.asarray(b.column("l_orderkey")),
+                   "revenue": np.asarray(b.column("l_extendedprice"))
+                   * (1.0 - np.asarray(b.column("l_discount")))})
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -584,19 +580,18 @@ def q_tpch_q5(sf_dir: str):
         pc.is_valid(b.column("c_nationkey"))), batch_format="pyarrow") \
         .select_columns(["o_orderkey", "c_nationkey"])
 
-    def _li_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def _asia_rev(b: pa.Table) -> dict:
         b = b.filter(pc.is_in(b.column("s_nationkey"),
                               value_set=pa.array(sorted(asia_nations),
                                                  pa.int64())))
         rev = (np.asarray(b.column("l_extendedprice"))
                * (1.0 - np.asarray(b.column("l_discount"))))
-        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
-                           "s_nationkey": np.asarray(b.column("s_nationkey")),
-                           "revenue": rev})
-        out = df.groupby(["l_orderkey", "s_nationkey"], as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return {"l_orderkey": np.asarray(b.column("l_orderkey")),
+                "s_nationkey": np.asarray(b.column("s_nationkey")),
+                "revenue": rev}
+
+    _li_partial = _grouped_sum_partial(["l_orderkey", "s_nationkey"],
+                                       _asia_rev)
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -1684,15 +1679,11 @@ def q_tpch_q10(sf_dir: str):
                    & (pds.field("o_orderdate")
                       < np.datetime64("1996-04-01", "us")))
 
-    def _rev_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        rev = (np.asarray(b.column("l_extendedprice"))
-               * (1.0 - np.asarray(b.column("l_discount"))))
-        df = pd.DataFrame({"l_orderkey": np.asarray(b.column("l_orderkey")),
-                           "revenue": rev})
-        out = df.groupby("l_orderkey", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _rev_partial = _grouped_sum_partial(
+        ["l_orderkey"],
+        lambda b: {"l_orderkey": np.asarray(b.column("l_orderkey")),
+                   "revenue": np.asarray(b.column("l_extendedprice"))
+                   * (1.0 - np.asarray(b.column("l_discount")))})
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
@@ -2780,13 +2771,10 @@ def q_tpch_q11(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
 
-    def _partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({"l_partkey": np.asarray(b.column("l_partkey")),
-                           "value": np.asarray(b.column("l_extendedprice"))})
-        out = df.groupby("l_partkey", as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    _partial = _grouped_sum_partial(
+        ["l_partkey"],
+        lambda b: {"l_partkey": np.asarray(b.column("l_partkey")),
+                   "value": np.asarray(b.column("l_extendedprice"))})
 
     per_part = (li.map_batches(_partial, batch_format="pyarrow")
                 .groupby("l_partkey")
@@ -2987,10 +2975,14 @@ def q_embedding_dim_stats(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["embedding"])
 
     def _partial(b: pa.Table) -> pa.Table:
+        # null/empty lists contribute nothing, exactly like SQL unnest
+        # (review r5: a null row used to trip the raggedness check)
+        col = b.column("embedding")
+        b = b.filter(pc.and_(pc.is_valid(col),
+                             pc.greater(pc.list_value_length(col), 0)))
         col = b.column("embedding").combine_chunks()
         flat = np.asarray(col.flatten(), dtype=np.float64)
-        offs = np.asarray(col.offsets)
-        widths = np.diff(offs)
+        widths = np.diff(np.asarray(col.offsets))
         if len(widths) == 0:
             return pa.table({"dim": pa.array([], pa.int64()),
                              "s": pa.array([], pa.float64()),

@@ -264,17 +264,22 @@ def grouped_count_distinct(ds, key: str | list[str], value: str, *,
     No per-group Python, no driver set — both shuffles carry only
     distinct pairs.  NULL values are ignored (SQL ``count(DISTINCT)``
     semantics — review r5: the pair groupby would otherwise count the
-    null group as a distinct value); a key whose values are ALL null
-    is absent from the output (SQL would emit it with count 0 — the
-    same documented divergence as :func:`grouped_quantiles`)."""
+    null group as a distinct value) — dropped by an ARROW validity
+    filter, not pandas ``dropna``, so a genuine float NaN survives and
+    counts as one distinct value exactly as SQL counts it; a key whose
+    values are ALL null is absent from the output (SQL would emit it
+    with count 0 — the same documented divergence as
+    :func:`grouped_quantiles`)."""
     import pandas as pd
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
     keys = [key] if isinstance(key, str) else list(key)
 
     def _local(b: pa.Table) -> pa.Table:
-        df = (b.select([*keys, value]).to_pandas()
-              .dropna(subset=[value]).drop_duplicates())
+        b = b.select([*keys, value])
+        b = b.filter(pc.is_valid(b.column(value)))
+        df = b.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pairs = (ds.map_batches(_local, batch_format="pyarrow")

@@ -34,24 +34,37 @@ _SK = "__setop_key"
 
 
 def _compose_key(cols: list[str]):
-    """Per-batch composed key: each field becomes ``n`` when NULL else
-    ``v<len>:<value>`` (validity tag OUT OF BAND, so no string value —
-    not even one spelling a null sentinel — can collide with NULL),
-    fields joined with ``|``; the length prefix makes values containing
-    the separator unambiguous."""
+    """Per-batch composed BINARY key: each field becomes ``n`` when
+    NULL else ``v<len>:<value>`` (validity tag OUT OF BAND, so no
+    value — not even one spelling a null sentinel — can collide with
+    NULL), fields joined with ``|``; the length prefix makes values
+    containing the separator unambiguous.  Field bytes are the raw
+    payload for binary columns (digest/fingerprint keys must NOT be
+    cast to utf8 — non-UTF8 payloads raise; review r5) and the string
+    cast otherwise, with floats normalized by ``+0.0`` first so
+    ``-0.0`` composes equal to ``0.0`` as SQL equality demands."""
 
     def _f(b: pa.Table) -> pa.Table:
         parts = []
         for c in cols:
             col = b.column(c)
-            s = pc.fill_null(pc.cast(col, pa.string()), "")
-            ln = pc.cast(pc.utf8_length(s), pa.string())
+            t = col.type
+            if pa.types.is_floating(t):
+                col = pc.add(col, pa.scalar(0.0, t))
+            if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                    or pa.types.is_fixed_size_binary(t)):
+                s = pc.cast(col, pa.binary())
+            else:
+                s = pc.cast(pc.cast(col, pa.string()), pa.binary())
+            s = pc.fill_null(s, b"")
+            ln = pc.cast(pc.cast(pc.binary_length(s), pa.string()),
+                         pa.binary())
             tagged = pc.binary_join_element_wise(
-                pa.array(["v"] * len(b)), ln, s, ":")
+                pa.array([b"v"] * len(b), pa.binary()), ln, s, b":")
             parts.append(pc.if_else(pc.is_null(col),
-                                    pa.scalar("n"), tagged))
+                                    pa.scalar(b"n", pa.binary()), tagged))
         key = parts[0] if len(parts) == 1 else \
-            pc.binary_join_element_wise(*parts, "|")
+            pc.binary_join_element_wise(*parts, b"|")
         return b.append_column(_SK, key)
 
     return _f

@@ -42,10 +42,21 @@ def test_driver_gate_head_covers_every_family():
     """The driver's correctness gate verifies only the FIRST 50
     queries() entries; pin the curated head so a refactor can't
     silently push a family representative past the cut (review r5)."""
+    import inspect
+    import re
+
     import __ray_entry__ as e
 
     qs = list(e.queries())
-    assert len(qs) == len(set(qs)), "duplicate query keys"
+    # a duplicate key LITERAL in the dict silently drops one entry and
+    # shifts everything after it up one gate slot — dict identity can't
+    # see it, so scan the source (review r5: the runtime-dict assert
+    # was vacuous)
+    src_keys = re.findall(r'^        "([a-z0-9_]+)": q_',
+                          inspect.getsource(e.queries), re.M)
+    dupes = {k for k in src_keys if src_keys.count(k) > 1}
+    assert not dupes, f"duplicate key literals in queries(): {dupes}"
+    assert src_keys == qs, "source key order disagrees with the dict"
     head = set(qs[:50])
     must_head = {
         "kg_pipeline", "minhash_dedup_clusters", "curation_funnel",
@@ -58,6 +69,7 @@ def test_driver_gate_head_covers_every_family():
     }
     missing = must_head - head
     assert not missing, f"gate head lost family heads: {sorted(missing)}"
-    # every oracle key must have a queries() entry and vice-versa names
+    # every oracle key must have a queries() entry (queries without an
+    # oracle are the documented rows-only set, so only this direction)
     orphan = set(e.oracle_sql()) - set(qs)
     assert not orphan, f"oracle_sql keys without queries(): {sorted(orphan)}"

@@ -382,3 +382,16 @@ def test_grouped_mode_matches_sql_tie_rule(ray_session):
     pd.testing.assert_frame_equal(got, exp)
     # 'b' has the 2-2 tie: p < q wins
     assert got.set_index("k").loc["b", "mode"] == "p"
+
+
+def test_grouped_count_distinct_counts_nan_but_not_null():
+    # SQL count(DISTINCT v): NULL ignored, NaN IS a value (review r5:
+    # pandas dropna conflated the two)
+    from snorkel_ray.stages.reshape import grouped_count_distinct
+
+    t = pa.table({"k": ["a", "a", "a", "a"],
+                  "v": pa.array([1.0, float("nan"), None, 2.0],
+                                pa.float64())})
+    out = grouped_count_distinct(ray.data.from_arrow(t), "k", "v",
+                                 out="n").to_pandas()
+    assert out.n.tolist() == [3]

@@ -132,3 +132,25 @@ def test_setops_null_never_collides_with_sentinel_strings():
         "a": pa.array(["\x00null", "n"], pa.string()), "b": ["x", "x"]}))
     assert intersect_distinct(left, right, ["a", "b"]).count() == 0
     assert except_distinct(left, right, ["a", "b"]).count() == 2
+
+
+def test_setops_binary_digest_keys():
+    # digest/fingerprint columns must not be cast to utf8 (review r5:
+    # non-UTF8 payloads raised ArrowInvalid in the composed key)
+    left = ray.data.from_arrow(pa.table({
+        "h": pa.array([b"\xde\xad\xbe\xef", b"\x00\x01", None],
+                      pa.binary())}))
+    right = ray.data.from_arrow(pa.table({
+        "h": pa.array([b"\xde\xad\xbe\xef", None], pa.binary())}))
+    got = intersect_distinct(left, right, ["h"]).to_pandas()["h"]
+    assert sorted(got.tolist(), key=str) == [None, b"\xde\xad\xbe\xef"]
+
+
+def test_setops_signed_zero_matches_sql():
+    # SQL float equality: -0.0 = 0.0 (review r5: the string cast
+    # composed them differently)
+    left = ray.data.from_arrow(
+        pa.table({"x": pa.array([-0.0, 1.0], pa.float64())}))
+    right = ray.data.from_arrow(
+        pa.table({"x": pa.array([0.0], pa.float64())}))
+    assert intersect_distinct(left, right, ["x"]).count() == 1
