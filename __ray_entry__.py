@@ -3041,6 +3041,20 @@ def q_order_share_of_customer(sf_dir: str):
     return _round_cols(out, {"share": 6}).sort("o_orderkey")
 
 
+def q_order_price_median_disc(sf_dir: str):
+    """SQL ``percentile_disc(0.5) WITHIN GROUP`` per order priority:
+    the fine-table quantile plan in discrete mode — the answer is an
+    EXACT stored value (rank ceil(q·n)), so the oracle hash needs no
+    rounding; a hot priority costs O(its distinct prices), never its
+    row count."""
+    from snorkel_ray.stages.reshape import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles(orders, "o_orderpriority", "o_totalprice",
+                            [0.5], out_names=["median_price"], disc=True)
+    return out.sort("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Contract queries, ORDER MATTERS: the driver's correctness gate
     verifies the FIRST 50 dict entries only (observed in round 3 —
@@ -3167,6 +3181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_hour": q_first_event_per_hour,
         "embedding_dim_stats": q_embedding_dim_stats,
         "order_share_of_customer": q_order_share_of_customer,
+        "order_price_median_disc": q_order_price_median_disc,
         "approx_price_quantiles": q_approx_price_quantiles,
         "approx_distinct_users": q_approx_distinct_users,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -3734,6 +3749,12 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "order_price_median_disc": """
+            SELECT o_orderpriority,
+                   percentile_disc(0.5)
+                     WITHIN GROUP (ORDER BY o_totalprice) AS median_price
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
         "order_share_of_customer": """
             SELECT o_orderkey, o_custkey,
                    round(o_totalprice

@@ -425,9 +425,14 @@ def grouped_argmax(ds, key: str | list[str], order_cols: list[str], *,
 
 
 def grouped_quantiles(ds, key: str, value: str, qs: list[float], *,
-                      out_names: list[str] | None = None):
+                      out_names: list[str] | None = None,
+                      disc: bool = False):
     """Exact per-key ``quantile_cont`` (linear interpolation, SQL /
-    numpy 'linear' definition) WITHOUT sorting any full group — the
+    numpy 'linear' definition) — or ``percentile_disc`` when
+    ``disc=True``: the smallest value whose cumulative distribution
+    reaches q, i.e. the EXACT stored value at 1-based rank
+    ``ceil(q·n)``, so results hash against a SQL oracle with no
+    rounding at all — WITHOUT sorting any full group — the
     same fine-table trick as :func:`grouped_rank`:
 
     1. per-batch (key, value) count partials → ``groupby(key,
@@ -467,6 +472,10 @@ def grouped_quantiles(ds, key: str, value: str, qs: list[float], *,
         n = int(cum[-1])
         row = {key: [g[key].iloc[0]]}
         for q, name in zip(qs, out_names):
+            if disc:
+                r = max(int(np.ceil(q * n)) - 1, 0)
+                row[name] = [vals[np.searchsorted(cum, r, side="right")]]
+                continue
             pos = q * (n - 1)
             i = int(np.floor(pos))
             frac = pos - i

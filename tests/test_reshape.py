@@ -395,3 +395,20 @@ def test_grouped_count_distinct_counts_nan_but_not_null():
     out = grouped_count_distinct(ray.data.from_arrow(t), "k", "v",
                                  out="n").to_pandas()
     assert out.n.tolist() == [3]
+
+
+def test_grouped_quantiles_disc_exact_stored_value():
+    # percentile_disc: smallest value whose cume_dist >= q — an EXACT
+    # stored value (rank ceil(q*n)), never interpolated
+    from snorkel_ray.stages.reshape import grouped_quantiles
+
+    t = pa.table({"k": ["a"] * 4 + ["b"] * 3,
+                  "v": [10.0, 20.0, 30.0, 40.0, 1.0, 2.0, 3.0]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (grouped_quantiles(ds, "k", "v", [0.5, 0.25],
+                             out_names=["p50", "p25"], disc=True)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # n=4: ceil(.5*4)=2nd -> 20, ceil(.25*4)=1st -> 10
+    # n=3: ceil(.5*3)=2nd -> 2, ceil(.25*3)=1st -> 1
+    assert out.p50.tolist() == [20.0, 2.0]
+    assert out.p25.tolist() == [10.0, 1.0]

@@ -154,3 +154,50 @@ def test_setops_signed_zero_matches_sql():
     right = ray.data.from_arrow(
         pa.table({"x": pa.array([0.0], pa.float64())}))
     assert intersect_distinct(left, right, ["x"]).count() == 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_adversarial = st.one_of(
+    st.none(),
+    st.text(alphabet="nv|:0x\x00", max_size=5))
+
+
+@given(st.lists(st.tuples(_adversarial, _adversarial),
+                min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_compose_key_injective_on_adversarial_strings(rows):
+    # the composed key must be equal IFF the tuples are equal, even for
+    # values spelled from the encoding's own alphabet (n, v, |, :)
+    from snorkel_ray.stages.setops import _SK, _compose_key
+
+    t = pa.table({"a": pa.array([r[0] for r in rows], pa.string()),
+                  "b": pa.array([r[1] for r in rows], pa.string())})
+    keys = _compose_key(["a", "b"])(t).column(_SK).to_pylist()
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            assert (keys[i] == keys[j]) == (rows[i] == rows[j])
+
+
+@given(st.lists(st.one_of(
+    st.none(),
+    st.sampled_from([0.0, -0.0, 1.5, float("nan"), float("inf")])),
+    min_size=1, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_compose_key_float_sql_equality(vals):
+    # SQL key equality: -0.0 = 0.0, NaN groups with NaN, NULL with NULL
+    from snorkel_ray.stages.setops import _SK, _compose_key
+
+    def sql_eq(x, y):
+        if x is None or y is None:
+            return x is None and y is None
+        if x != x or y != y:
+            return x != x and y != y
+        return x == y
+
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    keys = _compose_key(["x"])(t).column(_SK).to_pylist()
+    for i in range(len(vals)):
+        for j in range(len(vals)):
+            assert (keys[i] == keys[j]) == sql_eq(vals[i], vals[j])
