@@ -26,7 +26,7 @@ BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
 # tests can exercise every micro through the bench's own consumption path
 MICROS = ["lineitem_agg", "customer_order_join", "token_counts",
           "embedding_topk", "text_analysis", "minhash_dedup_clusters",
-          "curation_funnel"]
+          "curation_funnel", "tpch_q18"]
 
 
 def consume_micro(obj) -> None:
